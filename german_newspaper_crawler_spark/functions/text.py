@@ -1,0 +1,106 @@
+"""Text scalar functions + training-data text analysis.
+
+Upper block: 1:1 JVM-side equivalents of the reference's scalar functions
+(SURVEY.md §2.8). Lower block: graft text-analysis operators for a
+training-data pipeline (language-ID heuristic, quality scoring, token
+counting, fingerprinting) — all pure ``pyspark.sql.functions`` compositions,
+SQL-expressible for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+# --- reference scalar functions (§2.8) -----------------------------------
+
+def strip_html_tags(col) -> Column:
+    """F2 — degenerate HTML→text: ``re.sub(r"<[^>]+>", " ", html)``
+    (reference ``web_requests.py:29``)."""
+    return F.regexp_replace(_c(col), "<[^>]+>", " ")
+
+
+def ws_normalize(col) -> Column:
+    """F3 — ``" ".join(txt.split())`` (reference ``taz.py:66`` et al.):
+    collapse all whitespace runs to single spaces and trim."""
+    return F.trim(F.regexp_replace(_c(col), r"\s+", " "))
+
+
+def paragraph_split(col) -> Column:
+    """F4 — ``re.split(r"\\n{2,}", text)`` (reference ``pos_tagging.py:56``)."""
+    return F.split(_c(col), r"\n{2,}")
+
+
+def token_count_estimate(col) -> Column:
+    """A5 — whitespace token count ``len(text.split())``
+    (reference ``pos_tagging.py:84-94``); 0 for empty/blank text."""
+    t = F.trim(_c(col))
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def lenient_iso_timestamp(col) -> Column:
+    """F8 — ``datetime.fromisoformat`` with null-on-failure
+    (reference ``object_model.py:282-296``): ``try_to_timestamp``."""
+    return F.try_to_timestamp(_c(col))
+
+
+# --- graft text analysis --------------------------------------------------
+
+# Tiny high-frequency stopword lists for the n-gram/stopword language
+# heuristic. Counts of whole-word occurrences; deliberately small and fixed
+# so the oracle SQL can repeat them verbatim.
+DE_STOPWORDS = ["der", "die", "das", "und", "ist", "nicht", "ein", "mit"]
+EN_STOPWORDS = ["the", "and", "is", "not", "of", "to", "in", "that"]
+
+
+def _stopword_hits(col, words: list[str]) -> Column:
+    pat = "(?i)\\b(" + "|".join(words) + ")\\b"
+    return F.size(F.regexp_extract_all(_c(col), F.lit(pat), F.lit(1)))
+
+
+def langid_scores(col) -> tuple[Column, Column]:
+    """Whole-word stopword hit counts for (de, en)."""
+    return _stopword_hits(col, DE_STOPWORDS), _stopword_hits(col, EN_STOPWORDS)
+
+
+def langid(col) -> Column:
+    """Heuristic language ID: de/en by stopword hits, 'unk' on tie/zero."""
+    de, en = langid_scores(col)
+    return (
+        F.when(de > en, F.lit("de"))
+        .when(en > de, F.lit("en"))
+        .otherwise(F.lit("unk"))
+    )
+
+
+def punct_ratio(col) -> Column:
+    """Punctuation chars / total chars (0 for empty)."""
+    t = _c(col)
+    n = F.length(t)
+    p = F.length(F.regexp_replace(t, r"[^.,;:!?'\"()\[\]-]", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(p.cast("double") / n.cast("double"))
+
+
+def stopword_ratio(col) -> Column:
+    """Stopword tokens (de+en lists) / total tokens (0 for empty)."""
+    de, en = langid_scores(col)
+    n = token_count_estimate(col)
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        (de + en).cast("double") / n.cast("double")
+    )
+
+
+def quality_score(col) -> Column:
+    """Composite [0,1] quality score: length band + punctuation sanity +
+    stopword presence. Deterministic, SQL-expressible; mirrors the common
+    C4/Gopher-style rule shape (length, symbol ratio, stopword evidence)."""
+    n_tok = token_count_estimate(col)
+    len_ok = F.when((n_tok >= 10) & (n_tok <= 5000), F.lit(1.0)).otherwise(F.lit(0.0))
+    punct_ok = F.when(punct_ratio(col) <= 0.2, F.lit(1.0)).otherwise(F.lit(0.0))
+    stop_ok = F.when(stopword_ratio(col) >= 0.05, F.lit(1.0)).otherwise(F.lit(0.0))
+    return (len_ok + punct_ok + stop_ok) / F.lit(3.0)

@@ -1,0 +1,63 @@
+"""SparkSession factory tuned for the crawl/extract workload.
+
+Centralizes the configuration that matters at 100 TB scale:
+
+* AQE on (runtime coalesce + skew-join splitting),
+* Arrow on for every pandas-UDF boundary (the only Python touchpoints),
+* small Arrow batches when shipping multi-MB binary image rows
+  (``maxRecordsPerBatch``) so a batch of rows fits in worker memory,
+* shuffle partitions sized to the cluster (caller passes cores; a real
+  cluster deployment would set this to 2-3x total cores).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "german_newspaper_crawler_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    arrow_max_records_per_batch: int = 2048,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with scale-appropriate defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, fallback 32)
+    for the sandbox; on a real cluster callers pass ``None`` after
+    configuring via spark-submit and master is left untouched.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        # local mode: one shuffle partition per core keeps every stage wide
+        # without tiny-task overhead; cluster mode should use 2-3x cores.
+        n = master[master.index("[") + 1 : -1] if "[" in master else str(cpus)
+        shuffle_partitions = cpus if n == "*" else int(n)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            str(arrow_max_records_per_batch),
+        )
+        # binary image rows are large; keep file-split sizing moderate so a
+        # scan task's partition fits executor memory at 100 TB inputs.
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
