@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes every implemented operator from SURVEY.md §2 (and the
+graft operators from §2.11 / the training-data suite); ``oracle_sql()`` gives
+the DuckDB-equivalent SQL for each SQL-expressible one. The registry itself
+lives in ``german_newspaper_crawler_spark/plans/queries.py`` so each Spark
+implementation sits next to its oracle.
 """
 
 from __future__ import annotations
@@ -12,27 +12,50 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: the crawl-analog document
+    pipeline — content-hash identity → exact dedup (anti-join form) →
+    language-ID + quality scoring → per (source, lang) rollup."""
+    from german_newspaper_crawler_spark.functions import hashing, text
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    hashed = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        hashing.sha256_hex("text").alias("content_hash"),
+    )
+    # first-occurrence dedup on content identity (W2 + J1 semantics)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    deduped = hashed.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    scored = deduped.select(
+        "doc_id",
+        "source",
+        text.langid("text").alias("lang"),
+        text.quality_score("text").alias("quality"),
+        text.token_count_estimate("text").alias("ntok"),
+    )
+    return scored.groupBy("source", "lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(F.avg("quality"), 4).alias("avg_quality"),
+        F.round(F.avg("ntok"), 2).alias("avg_tokens"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from german_newspaper_crawler_spark.plans.queries import REGISTRY
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: spec.spark for name, spec in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from german_newspaper_crawler_spark.plans.queries import REGISTRY
+
+    return {
+        name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None
+    }

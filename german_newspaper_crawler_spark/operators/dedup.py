@@ -1,0 +1,199 @@
+"""Deduplication operators — exact, banded-hamming (pHash), n-gram Jaccard,
+MinHash+LSH, SimHash.
+
+The reference dedups on exact sha256 identity only (SURVEY §1.4). The graft
+adds the near-duplicate family a 100 TB training-data pipeline needs. Design
+rules at scale:
+
+* never enumerate O(n^2) pairs — candidates come from an inverted-index or
+  banded-LSH join whose shuffle key is short (shingle / band bucket),
+* everything is built-in DataFrame ops (explode/groupBy/join) so Catalyst
+  handles partial aggregation and AQE handles skewed shingles,
+* the shared ``hash64`` keeps signatures reproducible across engines (and
+  across runs — required for incremental dedup state).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from german_newspaper_crawler_spark.functions.hashing import hash64
+
+
+def exact_dedup(df: DataFrame, id_col: str, sig_col) -> DataFrame:
+    """Exact dedup: keep min-id row per signature (reference identity as a
+    groupBy; the crawl path uses the anti-join form instead)."""
+    return df.groupBy(sig_col.alias("sig")).agg(
+        F.min(id_col).alias("keeper"), F.count("*").alias("n_dups")
+    )
+
+
+def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct n-word shingles per row → (id, shingle). JVM-side transform,
+    no UDF; rows with < n tokens are dropped (both engines agree)."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    df2 = df.select(F.col(id_col), toks.alias("tk")).where(F.size("tk") >= n)
+    parts = ", ' ', ".join(f"element_at(tk, i + {j})" for j in range(n))
+    shingles = F.expr(
+        f"transform(sequence(1, size(tk) - {n - 1}), i -> concat({parts}))"
+    )
+    return df2.select(
+        id_col, F.explode(F.array_distinct(shingles)).alias("shingle")
+    )
+
+
+def banded_hamming_pairs(
+    df: DataFrame,
+    id_col: str,
+    hash_col: str,
+    n_bands: int = 4,
+    band_bits: int = 15,
+    max_hamming: int = 4,
+) -> DataFrame:
+    """pHash-style near-dup pairs: LSH banding on bit-slices of an integer
+    hash, then exact hamming verify with ``bit_count(xor)``.
+
+    Any two hashes with hamming <= n_bands - 1 share at least one unchanged
+    band (pigeonhole), so recall is exact for max_hamming < n_bands; larger
+    radii trade recall for the enormous candidate reduction. Output columns:
+    (a, b, hamming).
+    """
+    mask = (1 << band_bits) - 1
+    bands = df.select(
+        F.col(id_col).alias("id"),
+        F.col(hash_col).alias("h"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("b"),
+    ).withColumn("band_val", F.expr(f"shiftright(h, {band_bits} * b) & {mask}"))
+    left = bands.select(
+        F.col("id").alias("a"), F.col("h").alias("pa"), "b", "band_val"
+    )
+    right = bands.select(
+        F.col("id").alias("b_id"), F.col("h").alias("pb"), "b", "band_val"
+    )
+    cand = (
+        left.join(right, ["b", "band_val"])
+        .where(F.col("a") < F.col("b_id"))
+        .select(F.col("a"), F.col("b_id").alias("b"), "pa", "pb")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("pa").bitwiseXOR(F.col("pb")))
+    return (
+        cand.withColumn("hamming", hamming.cast("long"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Near-dup pairs by n-gram Jaccard via inverted-index self-join.
+
+    jaccard(A,B) = |A∩B| / (|A|+|B|-|A∩B|); the join on `shingle` computes
+    all |A∩B| > 0 pairs in one shuffle — no pair enumeration. Threshold is
+    applied to the 6-dp-rounded value (cross-engine boundary agreement).
+    """
+    sh = word_shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("a"), "shingle")
+    b = sh.select(F.col(id_col).alias("b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("c"))
+    )
+    sa = sizes.select(F.col(id_col).alias("a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("b"), F.col("n_sh").alias("nb"))
+    jac = F.round(
+        F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c")).cast("double"),
+        6,
+    )
+    return (
+        common.join(sa, "a")
+        .join(sb, "b")
+        .withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 8,
+    band_rows: int = 2,
+) -> DataFrame:
+    """MinHash signature + LSH banding candidate pairs.
+
+    k independent hash families h_i(s) = hash64(s # i); signature = min per
+    family; bands of ``band_rows`` consecutive values become bucket keys; any
+    shared bucket yields a candidate pair. Shuffle keys are (band, short
+    string) — this is the formulation that survives 10^10 docs.
+    """
+    sh = word_shingles(df, id_col, text_col, n)
+    seeded = sh.select(
+        id_col,
+        "shingle",
+        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed"),
+    ).withColumn(
+        "hv",
+        hash64(F.concat(F.col("shingle"), F.lit("#"), F.col("seed").cast("string"))),
+    )
+    mh = seeded.groupBy(id_col, "seed").agg(F.min("hv").alias("v"))
+    bands = (
+        mh.withColumn("band", (F.col("seed") / band_rows).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(
+            F.concat_ws(
+                ":",
+                F.expr("transform(sort_array(collect_list(struct(seed, v))), x -> cast(x.v as string))"),
+            ).alias("key")
+        )
+    )
+    a = bands.select(F.col(id_col).alias("a"), "band", "key")
+    b = bands.select(F.col(id_col).alias("b"), "band", "key")
+    return (
+        a.join(b, ["band", "key"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 60) -> DataFrame:
+    """SimHash fingerprint from distinct-token hash bit votes.
+
+    Pure relational formulation: explode tokens × bit positions, sum ±1 votes
+    per (doc, bit), set bit where the vote is positive. 60 bits so the
+    fingerprint stays within the shared 60-bit hash domain (and a signed
+    int64). At extreme scale the same result comes cheaper from a pandas UDF
+    with numpy popcount tables; this formulation keeps it oracle-checkable
+    and shuffle-light (bits explode AFTER token dedup).
+    """
+    toks = (
+        df.select(F.col(id_col), F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"))
+        .where(F.col("tok") != "")
+        .distinct()
+        .withColumn("h", hash64(F.col("tok")))
+    )
+    votes = (
+        toks.select(
+            id_col, "h", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j")
+        )
+        .withColumn(
+            "v", F.when(F.expr("shiftright(h, j) & 1") == 1, F.lit(1)).otherwise(F.lit(-1))
+        )
+        .groupBy(id_col, "j")
+        .agg(F.sum("v").alias("vote"))
+    )
+    return votes.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("vote") > 0, F.expr("shiftleft(1L, cast(j as int))")).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("simhash")
+    )

@@ -1,0 +1,990 @@
+"""Operator query battery — every SURVEY.md §2 operator as a (Spark, oracle-SQL) pair.
+
+Each entry implements one reference operator (or graft operator) as an
+idiomatic DataFrame query over the driver's testdata tables, together with
+the ANSI-SQL equivalent that DuckDB runs as the correctness oracle. The two
+sides are kept adjacent in one ``QuerySpec`` so they cannot drift.
+
+Cross-engine determinism rules used throughout:
+
+* all float outputs are ``round(x, N)`` on BOTH sides (double math only),
+* all integer outputs cast to bigint on both sides,
+* all timestamp outputs formatted to microsecond ISO strings on both sides,
+* thresshold filters applied to the *rounded* value so boundary rows agree,
+* the shared integer hash is :func:`hash64` (same bits in Spark and DuckDB).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from german_newspaper_crawler_spark.functions import hashing, text
+from german_newspaper_crawler_spark.functions.hashing import hash64, hash64_sql
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# timestamp → string, identical rendering in Spark and DuckDB
+TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
+
+
+def ts_str(col) -> F.Column:
+    return F.date_format(col, TS_FMT_SPARK)
+
+
+def ts_str_sql(expr: str) -> str:
+    return f"strftime({expr}, '{TS_FMT_DUCK}')"
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    doc: str  # SURVEY §2 row + reference citation
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None = None  # DuckDB SQL; None → rows-only check
+    bench: bool = False  # include in bench.py headline set
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, doc: str, oracle: str | None = None, bench: bool = False):
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(name, doc, fn, oracle, bench)
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# J1 — anti-join dedup (the reference's known-hash skip,
+# web_requests.py:182-193; Spark: LEFT ANTI JOIN on content_hash)
+# ---------------------------------------------------------------------------
+@register(
+    "j1_anti_join_seen",
+    "J1 anti-join dedup vs seen set (web_requests.py:182-193). Candidate urls "
+    "built from orders; 'seen' = hashes of every 3rd order. At scale this is "
+    "a shuffle hash anti-join on the 64-hex key; AQE handles skew.",
+    oracle="""
+    WITH cand AS (
+      SELECT o_orderkey, 'https://ex.com/order/' || CAST(o_orderkey AS VARCHAR) AS url
+      FROM orders),
+    seen AS (
+      SELECT SHA256(url) AS content_hash FROM cand WHERE o_orderkey % 3 = 0)
+    SELECT c.o_orderkey, c.url
+    FROM cand c LEFT JOIN seen s ON SHA256(c.url) = s.content_hash
+    WHERE s.content_hash IS NULL
+    """,
+    bench=True,
+)
+def j1_anti_join_seen(spark, sf_dir):
+    cand = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.concat(F.lit("https://ex.com/order/"), F.col("o_orderkey").cast("string")).alias("url"),
+    )
+    seen = cand.where(F.col("o_orderkey") % 3 == 0).select(
+        hashing.sha256_hex("url").alias("content_hash")
+    )
+    return (
+        cand.withColumn("content_hash", hashing.sha256_hex("url"))
+        .join(seen, "content_hash", "left_anti")
+        .select("o_orderkey", "url")
+    )
+
+
+# ---------------------------------------------------------------------------
+# W2 — first-occurrence dedup with order (taz.py:217-218,246-247)
+# ---------------------------------------------------------------------------
+@register(
+    "w2_first_occurrence_dedup",
+    "W2 ordered first-occurrence dedup (taz.py:217-218): keep the first row "
+    "per key by explicit (ts, event_id) order — ordering carried as data, "
+    "never execution order.",
+    oracle=f"""
+    SELECT user_id, event_id, {ts_str_sql('ts')} AS ts_s, event_type
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+          FROM events)
+    WHERE rn = 1
+    """,
+    bench=True,
+)
+def w2_first_occurrence_dedup(spark, sf_dir):
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        t(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", ts_str("ts").alias("ts_s"), "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1/A2/U1 — distinct + union-accumulate of hash sets (mongodb.py:47-65)
+# ---------------------------------------------------------------------------
+@register(
+    "a1_u1_distinct_union_hashes",
+    "A1/A2/U1 distinct-per-collection + union accumulate (mongodb.py:53-62): "
+    "hash-aggregate distinct; map-side partial agg comes free from Catalyst.",
+    oracle="""
+    SELECT DISTINCT content_hash FROM (
+      SELECT SHA256('https://ex.com/order/' || CAST(o_orderkey AS VARCHAR)) AS content_hash
+      FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT SHA256('https://ex.com/order/' || CAST(o_orderkey AS VARCHAR))
+      FROM orders WHERE o_orderkey % 3 = 0)
+    WHERE content_hash IS NOT NULL AND content_hash <> ''
+    """,
+)
+def a1_u1_distinct_union_hashes(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders")
+    url = F.concat(F.lit("https://ex.com/order/"), F.col("o_orderkey").cast("string"))
+    col_a = orders.where(F.col("o_orderkey") % 2 == 0).select(F.sha2(url, 256).alias("content_hash"))
+    col_b = orders.where(F.col("o_orderkey") % 3 == 0).select(F.sha2(url, 256).alias("content_hash"))
+    return (
+        col_a.unionByName(col_b)
+        .where(F.col("content_hash").isNotNull() & (F.col("content_hash") != ""))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# U2 — per-collection refresh (the replace quirk, mongodb.py:68-80)
+# ---------------------------------------------------------------------------
+@register(
+    "u2_refresh_collection_hashes",
+    "U2/S4 per-collection distinct refresh (mongodb.py:68-80): the global set "
+    "is REPLACED by one collection's hashes after each domain.",
+    oracle="""
+    SELECT DISTINCT SHA256(text) AS content_hash FROM documents WHERE source = 'src1'
+    """,
+)
+def u2_refresh_collection_hashes(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "documents")
+        .where(F.col("source") == "src1")
+        .select(hashing.sha256_hex("text").alias("content_hash"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# F1 — sha256 identity (object_model.py:195-214)
+# ---------------------------------------------------------------------------
+@register(
+    "f1_sha256_identity",
+    "F1 sha256 hex digest identity (object_model.py:197-199): sha2(x,256) is "
+    "bit-identical to hashlib.sha256().hexdigest().",
+    oracle="SELECT doc_id, SHA256(text) AS content_hash FROM documents",
+)
+def f1_sha256_identity(spark, sf_dir):
+    return t(spark, sf_dir, "documents").select(
+        "doc_id", hashing.sha256_hex("text").alias("content_hash")
+    )
+
+
+# ---------------------------------------------------------------------------
+# P1 — href validity filter (taz.py:213-215)
+# ---------------------------------------------------------------------------
+_HREFS = [
+    "/artikel/123",
+    "javascript:void(0)",
+    "https://ex.com/a",
+    "mailto:x@y.de",
+    "#",
+    "rel/path",
+]
+
+
+@register(
+    "p1_href_validity_filter",
+    "P1 href validity filter (taz.py:213-215): drop empty/javascript:/mailto:/#.",
+    oracle=f"""
+    WITH h AS (
+      SELECT event_id, (['{"','".join(_HREFS)}'])[CAST(event_id % 6 AS INT) + 1] AS href
+      FROM events)
+    SELECT event_id, href FROM h
+    WHERE TRIM(href) <> '' AND TRIM(href) <> '#'
+      AND NOT starts_with(TRIM(href), 'javascript:')
+      AND NOT starts_with(TRIM(href), 'mailto:')
+    """,
+)
+def p1_href_validity_filter(spark, sf_dir):
+    from german_newspaper_crawler_spark.functions import urls as U
+
+    arr = F.array(*[F.lit(h) for h in _HREFS])
+    df = t(spark, sf_dir, "events").select(
+        "event_id", F.element_at(arr, (F.col("event_id") % 6).cast("int") + 1).alias("href")
+    )
+    return df.where(U.href_valid("href")).select("event_id", "href")
+
+
+# ---------------------------------------------------------------------------
+# P2 — binary-content filter (pos_tagging.py:16-17,184-187)
+# ---------------------------------------------------------------------------
+_EXTS = [".html", ".pdf", ".jpg", ".html", ".png", ".gz", ".htm"]
+
+
+@register(
+    "p2_binary_url_filter",
+    "P2 binary-content url filter (pos_tagging.py:16-17): skip tagging for "
+    "pdf/jpg/... urls; in the image graft these rows are the extract input.",
+    oracle=f"""
+    WITH u AS (
+      SELECT doc_id,
+             'https://ex.com/f' || CAST(doc_id AS VARCHAR)
+               || (['{"','".join(_EXTS)}'])[CAST(doc_id % 7 AS INT) + 1] AS url
+      FROM documents)
+    SELECT doc_id, url,
+           (regexp_matches(lower(url), '\\.(pdf|jpe?g|png|gif|mp4|zip|gz)$')) AS is_binary
+    FROM u
+    """,
+)
+def p2_binary_url_filter(spark, sf_dir):
+    from german_newspaper_crawler_spark.functions import urls as U
+
+    arr = F.array(*[F.lit(e) for e in _EXTS])
+    df = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("https://ex.com/f"),
+            F.col("doc_id").cast("string"),
+            F.element_at(arr, (F.col("doc_id") % 7).cast("int") + 1),
+        ).alias("url"),
+    )
+    return df.select("doc_id", "url", U.is_binary_url("url").alias("is_binary"))
+
+
+# ---------------------------------------------------------------------------
+# F2/F3 — strip tags + whitespace normalize (web_requests.py:29, taz.py:66)
+# ---------------------------------------------------------------------------
+@register(
+    "f2_f3_strip_tags_normalize",
+    "F2 strip HTML tags + F3 whitespace normalize (web_requests.py:29; "
+    "taz.py:66): regexp_replace chain, pure codegen.",
+    oracle="""
+    SELECT doc_id,
+           TRIM(regexp_replace(regexp_replace('<p>' || text || '</p>', '<[^>]+>', ' ', 'g'),
+                               '\\s+', ' ', 'g')) AS clean
+    FROM documents
+    """,
+)
+def f2_f3_strip_tags_normalize(spark, sf_dir):
+    html = F.concat(F.lit("<p>"), F.col("text"), F.lit("</p>"))
+    return t(spark, sf_dir, "documents").select(
+        "doc_id", text.ws_normalize(text.strip_html_tags(html)).alias("clean")
+    )
+
+
+# ---------------------------------------------------------------------------
+# F5 — urljoin/absolutize (taz.py:216) — Spark side uses the Arrow UDF
+# ---------------------------------------------------------------------------
+@register(
+    "f5_urljoin_absolutize",
+    "F5 url absolutize (taz.py:216 urljoin) via vectorized Arrow UDF; oracle "
+    "reproduces the join rules for the fixture href shapes.",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id,
+             CASE CAST(doc_id % 3 AS INT)
+               WHEN 0 THEN '/art/' || CAST(doc_id AS VARCHAR)
+               WHEN 1 THEN 'rel/' || CAST(doc_id AS VARCHAR)
+               ELSE 'https://other.de/x' || CAST(doc_id AS VARCHAR) END AS href
+      FROM documents)
+    SELECT doc_id,
+           CASE WHEN starts_with(href, '/') THEN 'https://ex.com' || href
+                WHEN starts_with(href, 'http') THEN href
+                ELSE 'https://ex.com/sec/' || href END AS abs_url
+    FROM h
+    """,
+)
+def f5_urljoin_absolutize(spark, sf_dir):
+    from german_newspaper_crawler_spark.functions.urls import absolutize_udf
+
+    href = (
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.lit("/art/"), F.col("doc_id").cast("string")))
+        .when(F.col("doc_id") % 3 == 1, F.concat(F.lit("rel/"), F.col("doc_id").cast("string")))
+        .otherwise(F.concat(F.lit("https://other.de/x"), F.col("doc_id").cast("string")))
+    )
+    return (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", href.alias("href"))
+        .select(
+            "doc_id",
+            absolutize_udf(F.lit("https://ex.com/sec/page.html"), F.col("href")).alias("abs_url"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# F8 — lenient timestamp parse (object_model.py:282-296)
+# ---------------------------------------------------------------------------
+@register(
+    "f8_lenient_timestamp_parse",
+    "F8 lenient ISO parse, null-on-failure (object_model.py:282-296): "
+    "try_to_timestamp ≡ datetime.fromisoformat-with-warn-null.",
+    oracle=f"""
+    WITH s AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 2 = 0 THEN strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')
+                  ELSE 'junk-' || CAST(o_orderkey AS VARCHAR) END AS raw
+      FROM orders)
+    SELECT o_orderkey, raw, {ts_str_sql("TRY_CAST(raw AS TIMESTAMP)")} AS parsed_s
+    FROM s
+    """,
+)
+def f8_lenient_timestamp_parse(spark, sf_dir):
+    raw = F.when(
+        F.col("o_orderkey") % 2 == 0, F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss")
+    ).otherwise(F.concat(F.lit("junk-"), F.col("o_orderkey").cast("string")))
+    return (
+        t(spark, sf_dir, "orders")
+        .select("o_orderkey", raw.alias("raw"))
+        .select(
+            "o_orderkey", "raw", ts_str(text.lenient_iso_timestamp("raw")).alias("parsed_s")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A5/A6 — token estimate + threshold gate (pos_tagging.py:84-94,193-201)
+# ---------------------------------------------------------------------------
+@register(
+    "a5_a6_token_gate",
+    "A5 token-count estimate + A6 threshold gate (pos_tagging.py:84-94, "
+    ":193-201): cheap estimate gates the expensive enrichment UDF (R2 — a "
+    "cost-gate Catalyst cannot infer for UDFs).",
+    oracle="""
+    WITH n AS (
+      SELECT doc_id,
+             CASE WHEN TRIM(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(TRIM(text), '\\s+')) END AS ntok
+      FROM documents)
+    SELECT doc_id, CAST(ntok AS BIGINT) AS ntok,
+           CAST(CASE WHEN ntok > 60 THEN 0 ELSE ntok END AS BIGINT) AS gated_ntok
+    FROM n
+    """,
+)
+def a5_a6_token_gate(spark, sf_dir):
+    df = t(spark, sf_dir, "documents").select(
+        "doc_id", text.token_count_estimate("text").alias("ntok")
+    )
+    return df.select(
+        "doc_id",
+        F.col("ntok").cast("long").alias("ntok"),
+        F.when(F.col("ntok") > 60, F.lit(0))
+        .otherwise(F.col("ntok"))
+        .cast("long")
+        .alias("gated_ntok"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# O1/O2 — array sort + truncation cap (object_model.py:180-183;
+# pos_tagging.py:147-149)
+# ---------------------------------------------------------------------------
+@register(
+    "o1_o2_sort_truncate_tokens",
+    "O1 array sort by key (object_model.py:180-183) + O2 truncation cap at "
+    "50k entries (pos_tagging.py:13,147-149), cap scaled to 50 tokens here.",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(TRIM(text), '\\s+') AS tk FROM documents
+      WHERE TRIM(text) <> '')
+    SELECT doc_id, list_sort(tk[1:50]) AS sorted_head, CAST(len(tk) AS BIGINT) AS n
+    FROM toks
+    """,
+)
+def o1_o2_sort_truncate_tokens(spark, sf_dir):
+    df = (
+        t(spark, sf_dir, "documents")
+        .where(F.trim("text") != "")
+        .select("doc_id", F.split(F.trim("text"), r"\s+").alias("tk"))
+    )
+    return df.select(
+        "doc_id",
+        F.array_sort(F.slice("tk", 1, 50)).alias("sorted_head"),
+        F.size("tk").cast("long").alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# O4 — frontier pop order: ranked top-k per host (web_requests.py:116,127)
+# ---------------------------------------------------------------------------
+@register(
+    "o4_frontier_pop_topk",
+    "O4 frontier pop = per-host ranked top-k (web_requests.py:116 sequential "
+    "list order → explicit (priority, seq) rank window with per-host budget).",
+    oracle=f"""
+    SELECT user_id, event_id, {ts_str_sql('ts')} AS ts_s, CAST(rk AS BIGINT) AS rk
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rk
+          FROM events)
+    WHERE rk <= 2
+    """,
+    bench=True,
+)
+def o4_frontier_pop_topk(spark, sf_dir):
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        t(spark, sf_dir, "events")
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 2)
+        .select("user_id", "event_id", ts_str("ts").alias("ts_s"), F.col("rk").cast("long").alias("rk"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# W1/A3 — id assignment with high-water offset (object_model.py:11-27,23-27)
+# ---------------------------------------------------------------------------
+@register(
+    "w1_a3_id_assignment",
+    "W1 sequence numbering in deterministic order + A3 max-id high-water "
+    "offset (object_model.py:11-27,310-317). Spark side uses the scalable "
+    "two-phase assigner (operators.ids.assign_ids) — per-partition counts + "
+    "cumulative offsets, no single-partition window.",
+    oracle=f"""
+    SELECT CAST(1000 + ROW_NUMBER() OVER (ORDER BY ts, event_id) AS BIGINT) AS _id,
+           event_id, user_id
+    FROM events
+    """,
+)
+def w1_a3_id_assignment(spark, sf_dir):
+    from german_newspaper_crawler_spark.operators.ids import assign_ids
+
+    df = t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    return assign_ids(df, order_cols=["ts", "event_id"], offset=1000).select(
+        "_id", "event_id", "user_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# K1 — MERGE upsert semantics (mongodb.py:83-157)
+# ---------------------------------------------------------------------------
+@register(
+    "k1_merge_upsert",
+    "K1 upsert sink (mongodb.py:151-157 update_one($set, upsert=True)): "
+    "MERGE semantics — batch wins on key match, inserts otherwise. Spark "
+    "side is the engine's merge operator (anti-join + union, Iceberg "
+    "MERGE INTO in production).",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice, 'base' AS src
+      FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'),
+    batch AS (
+      SELECT o_orderkey, ROUND(o_totalprice * 2, 2) AS o_totalprice, 'batch' AS src
+      FROM orders WHERE o_orderkey % 2 = 0)
+    SELECT o_orderkey, o_totalprice, src FROM batch
+    UNION ALL
+    SELECT b.o_orderkey, b.o_totalprice, b.src
+    FROM base b LEFT JOIN batch t ON b.o_orderkey = t.o_orderkey
+    WHERE t.o_orderkey IS NULL
+    """,
+)
+def k1_merge_upsert(spark, sf_dir):
+    from german_newspaper_crawler_spark.operators.merge import merge_upsert
+
+    orders = t(spark, sf_dir, "orders")
+    base = orders.where(F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")).select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"), F.lit("base").alias("src")
+    )
+    batch = orders.where(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 2, 2).alias("o_totalprice"),
+        F.lit("batch").alias("src"),
+    )
+    return merge_upsert(base, batch, keys=["o_orderkey"])
+
+
+# ---------------------------------------------------------------------------
+# A3/A4 — max high-water + observability counts
+# ---------------------------------------------------------------------------
+@register(
+    "a3_max_id_highwater",
+    "A3 id high-water mark (object_model.py:23-27): global max.",
+    oracle="SELECT CAST(MAX(o_orderkey) AS BIGINT) AS max_id FROM orders",
+)
+def a3_max_id_highwater(spark, sf_dir):
+    return t(spark, sf_dir, "orders").select(F.max("o_orderkey").cast("long").alias("max_id"))
+
+
+@register(
+    "a4_counts_by_collection",
+    "A4 observability counts per collection (web_requests.py:117; "
+    "scr/german_newspaper_crawler.py:71).",
+    oracle="""
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY source
+    """,
+)
+def a4_counts_by_collection(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# G6 — pHash banded hamming near-dup self-join (graft; SURVEY §2.11)
+# ---------------------------------------------------------------------------
+@register(
+    "g6_phash_banded_neardup",
+    "G6 pHash near-dup suppression (graft): banded LSH self-join on 15-bit "
+    "bands of a 60-bit hash + hamming<=4 verify via bit_count(xor). Synthetic "
+    "phash groups 4 consecutive doc_ids around a shared random base so true "
+    "near-dups exist. At scale the band join replaces the O(n^2) pair scan.",
+    oracle=f"""
+    WITH ph AS (
+      SELECT doc_id,
+             xor({hash64_sql("CAST(doc_id // 4 AS VARCHAR)")}, doc_id % 4) AS phash
+      FROM documents),
+    bands AS (
+      SELECT doc_id, phash, b, (phash >> (15 * CAST(b AS INT))) & 32767 AS band_val
+      FROM ph, unnest([0, 1, 2, 3]) AS u(b)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS a, b.doc_id AS b, a.phash AS pa, b.phash AS pb
+      FROM bands a JOIN bands b ON a.b = b.b AND a.band_val = b.band_val
+      WHERE a.doc_id < b.doc_id)
+    SELECT a, b, CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(pa, pb)) <= 4
+    """,
+    bench=True,
+)
+def g6_phash_banded_neardup(spark, sf_dir):
+    from german_newspaper_crawler_spark.operators.dedup import banded_hamming_pairs
+
+    ph = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        hash64(F.floor(F.col("doc_id") / 4).cast("long").cast("string"))
+        .bitwiseXOR(F.col("doc_id") % 4)
+        .alias("phash"),
+    )
+    return banded_hamming_pairs(
+        ph, id_col="doc_id", hash_col="phash", n_bands=4, band_bits=15, max_hamming=4
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup suite (graft, training-data ops)
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_exact",
+    "Exact dedup by normalized-content hash (reference identity §1.4 applied "
+    "as a groupBy): sig = first 3 tokens; keeper = min doc_id per sig.",
+    oracle="""
+    WITH k AS (
+      SELECT doc_id,
+             SHA256(array_to_string((regexp_split_to_array(TRIM(text), '\\s+'))[1:3], ' ')) AS sig
+      FROM documents)
+    SELECT sig, CAST(MIN(doc_id) AS BIGINT) AS keeper, CAST(COUNT(*) AS BIGINT) AS n_dups
+    FROM k GROUP BY sig
+    """,
+    bench=True,
+)
+def dedup_exact(spark, sf_dir):
+    sig = F.sha2(F.concat_ws(" ", F.slice(F.split(F.trim("text"), r"\s+"), 1, 3)), 256)
+    return (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", sig.alias("sig"))
+        .groupBy("sig")
+        .agg(F.min("doc_id").cast("long").alias("keeper"), F.count("*").cast("long").alias("n_dups"))
+    )
+
+
+def _shingle_cols():
+    """3-word shingles as a JVM-side transform (no UDF)."""
+    toks = F.split(F.trim("text"), r"\s+")
+    return F.array_distinct(
+        F.expr(
+            "transform(sequence(1, size(tk) - 2), "
+            "i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1), ' ', element_at(tk, i + 2)))"
+        )
+    ), toks
+
+
+_SHINGLE_SQL = """
+    toks AS (
+      SELECT doc_id, regexp_split_to_array(TRIM(text), '\\s+') AS tk FROM documents
+      WHERE len(regexp_split_to_array(TRIM(text), '\\s+')) >= 3),
+    pos AS (
+      SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 2)) AS i FROM toks),
+    sh AS (
+      SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2] AS shingle
+      FROM pos)
+"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    "N-gram Jaccard near-dup: 3-word shingles → inverted-index self-join on "
+    "shingle (the scalable formulation — no O(n^2) pair scan) → "
+    "jaccard = |∩| / (|A|+|B|-|∩|) >= 0.5.",
+    oracle=f"""
+    WITH {_SHINGLE_SQL},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS c
+      FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT a, b, ROUND(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+    FROM common JOIN sizes sa ON sa.doc_id = common.a JOIN sizes sb ON sb.doc_id = common.b
+    WHERE ROUND(c * 1.0 / (sa.n + sb.n - c), 6) >= 0.5
+    """,
+    bench=True,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    from german_newspaper_crawler_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        t(spark, sf_dir, "documents"), id_col="doc_id", text_col="text", n=3, threshold=0.5
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    "MinHash+LSH candidate pairs: k=8 signatures from the shared hash64 "
+    "family, 4 bands × 2 rows; pairs sharing any band bucket. Band join is "
+    "the 100TB-scale path (shuffle on short band keys, no pair explosion).",
+    oracle=f"""
+    WITH {_SHINGLE_SQL},
+    seeds AS (SELECT unnest(generate_series(0, 7)) AS seed),
+    mh AS (
+      SELECT doc_id, seed,
+             MIN({hash64_sql("concat(shingle, '#', CAST(seed AS VARCHAR))")}) AS v
+      FROM sh, seeds GROUP BY doc_id, seed),
+    bands AS (
+      SELECT doc_id, seed // 2 AS band,
+             string_agg(CAST(v AS VARCHAR), ':' ORDER BY seed) AS key
+      FROM mh GROUP BY doc_id, seed // 2)
+    SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+    FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+    WHERE a.doc_id < b.doc_id
+    """,
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    from german_newspaper_crawler_spark.operators.dedup import minhash_lsh_candidates
+
+    return minhash_lsh_candidates(
+        t(spark, sf_dir, "documents"),
+        id_col="doc_id",
+        text_col="text",
+        n=3,
+        num_hashes=8,
+        band_rows=2,
+    )
+
+
+@register(
+    "dedup_simhash",
+    "SimHash 60-bit fingerprint per doc from distinct-token hash64 bit votes "
+    "— pure relational formulation (explode bits + groupBy), no UDF.",
+    oracle=f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest(regexp_split_to_array(TRIM(text), '\\s+')) AS tok
+      FROM documents WHERE TRIM(text) <> ''),
+    th AS (SELECT doc_id, {hash64_sql('tok')} AS h FROM toks),
+    bits AS (SELECT unnest(generate_series(0, 59)) AS j),
+    votes AS (
+      SELECT doc_id, j,
+             SUM(CASE WHEN (h >> CAST(j AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM th, bits GROUP BY doc_id, j)
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+    FROM votes GROUP BY doc_id
+    """,
+)
+def dedup_simhash(spark, sf_dir):
+    from german_newspaper_crawler_spark.operators.dedup import simhash
+
+    return simhash(t(spark, sf_dir, "documents"), id_col="doc_id", text_col="text")
+
+
+@register(
+    "dedup_embedding_cosine",
+    "Embedding cosine near-dup pairs (threshold on the ROUNDED similarity so "
+    "both engines agree at the boundary). Spark: zip_with dot product over "
+    "double arrays — JVM-side, no UDF. Production scale path: LSH bucketing "
+    "first (see ann_lsh_topk), then exact verify within buckets.",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS a, b.vec_id AS b,
+             ROUND(list_dot_product(a.v, b.v)
+                   / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                   6) AS cos_sim
+      FROM e a JOIN e b ON a.vec_id < b.vec_id)
+    SELECT a, b, ROUND(cos_sim, 4) AS cos_sim FROM pairs WHERE cos_sim >= 0.4
+    """,
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    from german_newspaper_crawler_spark.operators.similarity import cosine_pairs
+
+    return cosine_pairs(
+        t(spark, sf_dir, "embeddings"), id_col="vec_id", vec_col="embedding", threshold=0.4
+    )
+
+
+@register(
+    "ann_bruteforce_topk",
+    "ANN baseline: brute-force cosine top-k per query (first 5 vec_ids) with "
+    "deterministic tie-break; rank window over rounded similarity.",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT * FROM e WHERE vec_id < 5),
+    scored AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             ROUND(list_dot_product(q.v, e.v)
+                   / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))),
+                   6) AS cos_sim
+      FROM q JOIN e ON q.vec_id <> e.vec_id)
+    SELECT query_id, neighbor_id, cos_sim, CAST(rk AS BIGINT) AS rk
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cos_sim DESC, neighbor_id) AS rk
+          FROM scored)
+    WHERE rk <= 10
+    """,
+)
+def ann_bruteforce_topk(spark, sf_dir):
+    from german_newspaper_crawler_spark.operators.similarity import brute_force_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return brute_force_topk(queries, emb, id_col="vec_id", vec_col="embedding", k=10)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis suite (graft)
+# ---------------------------------------------------------------------------
+_DE = "|".join(text.DE_STOPWORDS)
+_EN = "|".join(text.EN_STOPWORDS)
+
+
+@register(
+    "text_langid",
+    "Language-ID heuristic: whole-word stopword hit counts (de vs en).",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '(?i)\\b({_DE})\\b')) AS de,
+             len(regexp_extract_all(text, '(?i)\\b({_EN})\\b')) AS en
+      FROM documents)
+    SELECT doc_id,
+           CASE WHEN de > en THEN 'de' WHEN en > de THEN 'en' ELSE 'unk' END AS lang,
+           CAST(de AS BIGINT) AS de_hits, CAST(en AS BIGINT) AS en_hits
+    FROM s
+    """,
+)
+def text_langid(spark, sf_dir):
+    de, en = text.langid_scores("text")
+    return t(spark, sf_dir, "documents").select(
+        "doc_id",
+        text.langid("text").alias("lang"),
+        de.cast("long").alias("de_hits"),
+        en.cast("long").alias("en_hits"),
+    )
+
+
+@register(
+    "text_quality_score",
+    "Quality scoring: token-length band, punctuation ratio, stopword ratio → "
+    "composite [0,1] score (C4/Gopher-style rule shape).",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id,
+             CASE WHEN TRIM(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(TRIM(text), '\\s+')) END AS ntok,
+             length(text) AS nchar,
+             length(regexp_replace(text, '[^.,;:!?''"()\\[\\]-]', '', 'g')) AS npunct,
+             len(regexp_extract_all(text, '(?i)\\b({_DE}|{_EN})\\b')) AS nstop
+      FROM documents)
+    SELECT doc_id,
+           ROUND(CASE WHEN nchar = 0 THEN 0.0 ELSE npunct * 1.0 / nchar END, 6) AS punct_ratio,
+           ROUND(CASE WHEN ntok = 0 THEN 0.0 ELSE nstop * 1.0 / ntok END, 6) AS stop_ratio,
+           ROUND(((CASE WHEN ntok BETWEEN 10 AND 5000 THEN 1.0 ELSE 0.0 END)
+                  + (CASE WHEN (CASE WHEN nchar = 0 THEN 0.0 ELSE npunct * 1.0 / nchar END) <= 0.2
+                          THEN 1.0 ELSE 0.0 END)
+                  + (CASE WHEN (CASE WHEN ntok = 0 THEN 0.0 ELSE nstop * 1.0 / ntok END) >= 0.05
+                          THEN 1.0 ELSE 0.0 END)) / 3.0, 6) AS quality
+    FROM m
+    """,
+)
+def text_quality_score(spark, sf_dir):
+    return t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.round(text.punct_ratio("text"), 6).alias("punct_ratio"),
+        F.round(text.stopword_ratio("text"), 6).alias("stop_ratio"),
+        F.round(text.quality_score("text"), 6).alias("quality"),
+    )
+
+
+@register(
+    "text_fingerprint_rolling",
+    "Document fingerprint: min over all 8-char-window hashes of the "
+    "normalized text (rolling-hash min-sketch) — explode positions JVM-side.",
+    oracle=f"""
+    WITH nt AS (
+      SELECT doc_id,
+             lower(TRIM(regexp_replace(text, '\\s+', ' ', 'g'))) AS s
+      FROM documents WHERE length(TRIM(text)) >= 8),
+    pos AS (SELECT doc_id, s, unnest(generate_series(1, length(s) - 7)) AS i FROM nt)
+    SELECT doc_id, MIN({hash64_sql("substr(s, CAST(i AS INT), 8)")}) AS fingerprint
+    FROM pos GROUP BY doc_id
+    """,
+)
+def text_fingerprint_rolling(spark, sf_dir):
+    from german_newspaper_crawler_spark.operators.fingerprint import rolling_min_fingerprint
+
+    return rolling_min_fingerprint(
+        t(spark, sf_dir, "documents"), id_col="doc_id", text_col="text", window=8
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational breadth / bench headliners
+# ---------------------------------------------------------------------------
+@register(
+    "tpch_q1_pricing_summary",
+    "TPC-H Q1-style aggregation over lineitem — bench headliner exercising "
+    "map-side partial agg + whole-stage codegen.",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(AVG(l_quantity), 4) AS avg_qty,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    bench=True,
+)
+def tpch_q1_pricing_summary(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "lineitem")
+        .where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").cast("long").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "tpch_q3_shipping_priority",
+    "TPC-H Q3-style 3-way join + agg + deterministic top-10 — broadcast of "
+    "the filtered customer dim, shuffle join on orderkey.",
+    oracle="""
+    WITH rev AS (
+      SELECT l.l_orderkey, o.o_orderdate,
+             SUM(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+      FROM customer c
+      JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderdate < TIMESTAMP '1995-03-15'
+        AND l.l_shipdate > TIMESTAMP '1995-03-15'
+      GROUP BY l.l_orderkey, o.o_orderdate)
+    SELECT l_orderkey, ROUND(revenue, 2) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_s
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY ROUND(revenue, 2) DESC, l_orderkey) AS rk
+          FROM rev)
+    WHERE rk <= 10
+    """,
+    bench=True,
+)
+def tpch_q3_shipping_priority(spark, sf_dir):
+    cust = (
+        t(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
+    )
+    li = t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+    w = Window.orderBy(F.round("revenue", 2).desc(), F.col("l_orderkey"))
+    return (
+        rev.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 10)
+        .select(
+            "l_orderkey",
+            F.round("revenue", 2).alias("revenue"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate_s"),
+        )
+    )
+
+
+@register(
+    "events_hourly_rollup",
+    "Event-time tumbling-window aggregation (batch form of the Structured "
+    "Streaming hourly rollup; streaming variant in streaming/rollup.py).",
+    oracle=f"""
+    SELECT {ts_str_sql("date_trunc('hour', ts)")} AS hour_s, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 4) AS total_value
+    FROM events GROUP BY date_trunc('hour', ts), event_type
+    """,
+    bench=True,
+)
+def events_hourly_rollup(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(F.count("*").cast("long").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(ts_str("hour").alias("hour_s"), "event_type", "n", "total_value")
+    )
+
+
+@register(
+    "events_sessionize",
+    "Sessionization: 30-min-gap session ids via lag + running sum window — "
+    "the stateful-streaming operator in its batch formulation.",
+    oracle="""
+    WITH g AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+                  OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT event_id, user_id,
+           CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+    FROM g
+    """,
+)
+def events_sessionize(spark, sf_dir):
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # events.ts is TIMESTAMP_NTZ; cast for unix_micros (session tz is UTC so
+    # the wall-clock is preserved and the gap arithmetic is exact)
+    ep = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    gap = ep(F.col("ts")) - ep(F.lag("ts").over(w))
+    new_sess = F.when(gap > 1_800_000_000, 1).when(F.lag("ts").over(w).isNull(), 1).otherwise(0)
+    df = t(spark, sf_dir, "events").withColumn("new_sess", new_sess)
+    return df.select(
+        "event_id",
+        "user_id",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long").alias("session_id"),
+    )
