@@ -1,0 +1,109 @@
+"""Priority-queue frontier over the table store (G4).
+
+Reference behavior replaced: an ephemeral per-run ordered ``List[str]``
+consumed sequentially (``lib/common/web_requests.py:105-116,127``); ordering
+produced by the selector ladder (``lib/domain/taz.py:188-206``, SURVEY §1.5).
+Here the ordering is data: ``(domain_rank, priority, seq)`` columns, where
+``priority`` = selector rank of the anchor's first surviving occurrence and
+``seq`` = its document position. Pop = per-host ranked window with a
+politeness budget.
+
+Scale notes (10^10 URLs):
+* partition key = ``bucket = pmod(hash64(host), n_buckets)`` — a host never
+  spans buckets, so politeness state is partition-local (G3),
+* mega-host skew (spiegel/bild/faz): fetch work per host is *politeness-
+  bound* (sequential per host by design), so a mega-host cannot be
+  parallelized away — the per-host pop budget caps the per-round skew and
+  the large bucket count spreads distinct hosts across executors; the
+  discovery/dedup shuffles key on url hashes, which are uniform,
+* state transitions are MERGE-on-url against the frontier table — at scale
+  an Iceberg MERGE with bucket(host) partition pruning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from german_newspaper_crawler_spark.functions.hashing import hash64
+from german_newspaper_crawler_spark.functions.urls import host_of
+
+
+def bucket_of(host_col, n_buckets: int) -> F.Column:
+    return F.pmod(hash64(host_col), F.lit(n_buckets)).cast("int")
+
+
+def frontier_from_seeds(seeds: DataFrame, n_buckets: int) -> DataFrame:
+    """Seed rows → pending listing-frontier rows, ordered by config position
+    (reference: domains processed in config order,
+    scr/german_newspaper_crawler.py:76)."""
+    w = Window.orderBy("domain")
+    return seeds.select(
+        F.col("base_url").alias("url"),
+        F.col("host"),
+        bucket_of(F.col("host"), n_buckets).alias("bucket"),
+        F.lit(0).alias("priority"),
+        (F.row_number().over(w) - 1).cast("long").alias("seq"),
+        F.lit("listing").alias("kind"),
+        F.lit("pending").alias("state"),
+        F.lit(0).alias("round"),
+        F.col("domain"),
+        F.col("base_url"),
+        F.lit(None).cast("string").alias("anchor_text"),
+        F.current_timestamp().alias("discovered_at"),
+    )
+
+
+def pop_batch(frontier: DataFrame, per_host_budget: int | None = None) -> DataFrame:
+    """Select the next fetch batch: pending rows ranked by the explicit
+    order key within each host; optional per-host budget (O4 + G3/G4).
+
+    per_host_budget=None reproduces the reference exactly (consume the whole
+    ordered list); a budget bounds per-round host skew at scale.
+    """
+    pending = frontier.where(F.col("state") == "pending")
+    if per_host_budget is None:
+        return pending
+    w = Window.partitionBy("host").orderBy("priority", "seq", "url")
+    return (
+        pending.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= per_host_budget)
+        .drop("__rk")
+    )
+
+
+def anchors_to_frontier(
+    anchors: DataFrame, round_no: int, n_buckets: int, kind: str = "article"
+) -> DataFrame:
+    """Surviving anchor rows (already validity-filtered, absolutized,
+    hash-skipped, first-occurrence-deduped) → pending frontier rows.
+
+    ``priority``/``seq`` carry the selector-ladder order (SURVEY §1.5):
+    pop order ``(priority, seq)`` replays the reference's list order.
+    """
+    return anchors.select(
+        F.col("abs_url").alias("url"),
+        host_of("abs_url").alias("host"),
+        bucket_of(host_of("abs_url"), n_buckets).alias("bucket"),
+        F.col("sel_rank").alias("priority"),
+        F.col("doc_pos").cast("long").alias("seq"),
+        F.lit(kind).alias("kind"),
+        F.lit("pending").alias("state"),
+        F.lit(round_no).alias("round"),
+        F.col("domain"),
+        F.col("base_url"),
+        F.col("anchor_text"),
+        F.current_timestamp().alias("discovered_at"),
+    )
+
+
+def first_occurrence_dedup(anchors: DataFrame, url_col: str = "abs_url") -> DataFrame:
+    """W2: keep each URL's first surviving occurrence by (sel_rank, doc_pos)
+    — including its anchor_text, which feeds the text-hash skip
+    (taz.py:217-218,232-241)."""
+    w = Window.partitionBy(url_col).orderBy("sel_rank", "doc_pos")
+    return (
+        anchors.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -1,0 +1,228 @@
+"""Reference-faithful HTML extraction (anchors, metadata, body, figures).
+
+Reproduces the BeautifulSoup-based extraction of ``lib/domain/taz.py`` on the
+in-repo mini-DOM, with each quirk preserved and cited. These functions are
+per-document pure Python invoked from Arrow batches inside ``mapInPandas`` —
+the distributed analog of the reference calling soup methods per page.
+
+CSS-class semantics note: the selector ladder (``a.teaser-link``) matches a
+whole class *token*; the metadata lambdas (taz.py:54-63) match a *substring*
+of the raw class attribute. Both are reproduced distinctly.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from german_newspaper_crawler_spark.parse.minidom import Node, parse_html
+
+
+def _cls_token(n: Node, token: str) -> bool:
+    c = n.attrs.get("class")
+    return bool(c) and token in c.split()
+
+
+def _ws(t: str) -> str:
+    return " ".join(t.split())
+
+
+# --- anchor ladder (taz.py:188-206) ---------------------------------------
+
+def extract_anchors(html: str) -> list[tuple[str, str, int, int]]:
+    """All candidate anchors as (href, anchor_text, sel_rank, doc_pos).
+
+    The reference appends matches selector-by-selector (duplicates across
+    selectors included) and dedups later by first occurrence of the absolute
+    URL (taz.py:217-218) — so the raw list with (sel_rank, doc_pos) IS the
+    ordering truth. Fallback to all <a href> only when the ladder matched
+    nothing (taz.py:204-206).
+    """
+    root = parse_html(html)
+    all_a = root.find_all("a")
+    selectors = [
+        lambda a: _cls_token(a, "teaser-link"),
+        lambda a: _cls_token(a, "headline-link"),
+        lambda a: _cls_token(a, "article__link"),
+        lambda a: "/artikel/" in (a.get("href") or ""),
+        lambda a: (a.get("href") or "").startswith("/"),
+        lambda a: (a.get("href") or "").startswith("http"),
+    ]
+    out: list[tuple[str, str, int, int]] = []
+    for rank, sel in enumerate(selectors):
+        for a in all_a:
+            href = a.get("href")
+            if href and sel(a):
+                out.append((href, a.get_text(" ", strip=True) or "", rank, a.pos))
+    if not out:
+        for a in all_a:
+            if "href" in a.attrs:
+                out.append((a.attrs["href"], a.get_text(" ", strip=True) or "", 6, a.pos))
+    return out
+
+
+# --- metadata (taz.py:19-141) ----------------------------------------------
+
+def extract_metadata(root: Node) -> tuple[str | None, str | None, str | None, str | None]:
+    """(published_iso, author, category, teaser) with every fallback chain
+    from _extract_meta_from_soup."""
+    published_iso = author = category = teaser = None
+
+    time_tag = root.find("time")
+    if time_tag:
+        dt = (time_tag.get("datetime") or "").strip()
+        if dt:
+            published_iso = dt
+    if not published_iso:
+        meta_time = root.find("meta", attrs={"property": "article:published_time"}) or root.find(
+            "meta", attrs={"name": "pubdate"}
+        )
+        if meta_time and meta_time.get("content"):
+            published_iso = meta_time.get("content").strip()
+
+    wrapper = root.find("div", class_fragment="author-name-wrapper")
+    if wrapper:
+        a_tag = wrapper.find("a", class_fragment="teaser-link")
+        if a_tag:
+            span = a_tag.find("span", class_fragment="typo-name-detail-bold")
+            if span:
+                txt = span.get_text(" ", strip=True)
+                if txt:
+                    author = _ws(txt)
+    if not author:
+        meta_author = root.find("meta", attrs={"name": "author"})
+        if meta_author and meta_author.get("content"):
+            author = meta_author.get("content").strip()
+
+    marker = root.find(("span", "div"), class_fragment="typo-r-topline-detail")
+    candidate = None
+    if marker:
+        h2 = marker.find_parent("h2")
+        if h2:
+            head = h2.find("span", class_fragment="typo-r-head-detail")
+            if head:
+                t = head.get_text(" ", strip=True)
+                if t:
+                    candidate = t
+        if candidate is None:
+            sib = marker.find_next_sibling("span", class_fragment="typo-r-head-detail")
+            if sib:
+                t = sib.get_text(" ", strip=True)
+                if t:
+                    candidate = t
+        if candidate is None:
+            t = marker.get_text(" ", strip=True)
+            if t:
+                candidate = t
+    if candidate:
+        category = _ws(candidate)
+
+    p_tag = root.find("p", class_fragment="typo-r-subline-detail")
+    if p_tag:
+        t = p_tag.get_text(" ", strip=True)
+        if t:
+            teaser = _ws(t)
+    if not teaser:
+        meta_desc = root.find("meta", attrs={"name": "description"})
+        if meta_desc and meta_desc.get("content"):
+            teaser = meta_desc.get("content").strip()
+
+    return published_iso, author, category, teaser
+
+
+# --- body text (taz.py:264-299) ---------------------------------------------
+
+_BODY_CANDIDATES = [
+    ("div", {"class_token": "article__body"}),
+    ("div", {"class_token": "article__content"}),
+    ("div", {"class_token": "lead-body"}),
+    ("div", {"class_token": "article-content"}),
+    ("section", {"class_token": "article-body"}),
+    ("div", {"class_token": "story-body"}),
+    ("div", {"id": "content"}),
+    ("article", {}),
+    ("div", {"class_token": "teaser-body"}),
+]
+
+
+def extract_body_text(root: Node) -> str:
+    for tag, spec in _BODY_CANDIDATES:
+        container = None
+        for n in root.iter():
+            if n.tag != tag:
+                continue
+            if "class_token" in spec and not _cls_token(n, spec["class_token"]):
+                continue
+            if "id" in spec and n.attrs.get("id") != spec["id"]:
+                continue
+            container = n
+            break
+        if container:
+            paragraphs = [
+                _ws(p.get_text(" ", strip=True))
+                for p in container.find_all("p")
+                if p.get_text(" ", strip=True)
+            ]
+            if paragraphs:
+                return "\n\n".join(paragraphs)
+    paragraphs = [
+        _ws(p.get_text(" ", strip=True))
+        for p in root.find_all("p")
+        if p.get_text(" ", strip=True)
+    ]
+    return "\n\n".join(paragraphs)
+
+
+# --- figures (graft G5 — image+caption pairs; no reference analog;
+# nearest replaced behavior: body <p> extraction taz.py:264-299) -------------
+
+def extract_figures(root: Node) -> list[tuple[str, str]]:
+    """(img_src, caption) per <figure><img src><figcaption> — caption from
+    figcaption text (ws-normalized), falling back to the img alt attribute."""
+    out = []
+    for fig in root.find_all("figure"):
+        img = fig.find("img")
+        if img is None or not img.get("src"):
+            continue
+        cap_node = fig.find("figcaption")
+        caption = _ws(cap_node.get_text(" ", strip=True)) if cap_node else ""
+        if not caption:
+            caption = _ws(img.get("alt") or "")
+        out.append((img.get("src"), caption))
+    return out
+
+
+# --- full article parse (taz.py:302-365) -------------------------------------
+
+def lenient_fromisoformat(s: str | None) -> datetime | None:
+    """datetime.fromisoformat with warn-and-null semantics
+    (object_model.py:282-296; taz.py:326-338)."""
+    if not s:
+        return None
+    try:
+        return datetime.fromisoformat(s)
+    except (ValueError, TypeError):
+        try:
+            return datetime.fromisoformat(s.strip())
+        except (ValueError, TypeError):
+            return None
+
+
+def parse_article(url: str, html: str) -> dict:
+    """parse_article_to_object equivalent → plain dict of ARTICLES columns
+    (titel always None — taz.py:346; parsed_date set by the pipeline when
+    text is non-empty, with an injected clock for determinism)."""
+    root = parse_html(html or "")
+    published_iso, author, category, teaser = extract_metadata(root)
+    body = extract_body_text(root)
+    figures = extract_figures(root)
+    return {
+        "url": url,
+        "titel": None,
+        "teaser": teaser,
+        "autor": author,
+        "category": category,
+        "published_date": lenient_fromisoformat(published_iso),
+        "html": html,
+        "text": body,
+        "figures": figures,
+    }

@@ -1,0 +1,447 @@
+"""The crawl pipeline — frontier-pop → fetch → parse → dedup → merge loop.
+
+Spark re-expression of the reference's ``main()`` (SURVEY §3.1): one Spark
+job per crawl round, rounds looped on the driver until the frontier is empty
+or budget exhausted. The reference's sequential per-URL loop
+(``lib/common/web_requests.py:127-220``) becomes per-stage DataFrames; its
+ordering guarantees are carried as ``(domain, priority, seq)`` columns; its
+in-memory hash set becomes the ``seen`` table + anti-joins.
+
+Stage map (reference → here):
+  build_article_urls / TAZ.fetch_article_urls  → parse_listing_stage + refill
+  fetch_url loop                               → sources.fetch.fetch_stage
+  parse_article (taz.py:302-365)               → parse_article_stage
+  hash skip (web_requests.py:182-193)          → seen anti-joins (J1)
+  pos_tag_object (pos_tagging.py:169-227)      → enrich_pos_tags (SQL only)
+  upsert_article (mongodb.py:83-157)           → store.merge on content_hash
+  known_hashes.add (web_requests.py:218-219)   → store.append('seen', ...)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from datetime import datetime
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType, IntegerType, LongType, StringType, StructField, StructType, TimestampType,
+)
+
+from german_newspaper_crawler_spark import schemas
+from german_newspaper_crawler_spark.functions import hashing
+from german_newspaper_crawler_spark.functions.urls import href_valid
+from german_newspaper_crawler_spark.operators import frontier as FR
+from german_newspaper_crawler_spark.sources.fetch import Fetcher, fetch_stage
+from german_newspaper_crawler_spark.sources.store import SnapshotStore
+
+
+@dataclass
+class CrawlConfig:
+    n_buckets: int = 64
+    per_host_budget: int | None = None  # None = reference semantics (drain)
+    max_rounds: int = 4
+    respect_delay: bool = False
+    parsed_ts: datetime | None = None  # injected clock (F10 determinism)
+    extract_images: bool = True
+    pos_tag_cap: int = 50_000  # MAX_POS_TAG_ENTRIES (pos_tagging.py:13)
+    pos_tag_skip: int = 200_000  # MAX_POS_TAG_TOKENS (pos_tagging.py:14)
+
+
+# --- listing parse (P3 flatmap: 1 listing row → N anchor rows) ---------------
+
+_ANCHOR_SCHEMA = StructType(
+    [
+        StructField("page_url", StringType()),
+        StructField("domain", StringType()),
+        StructField("base_url", StringType()),
+        StructField("href", StringType()),
+        StructField("anchor_text", StringType()),
+        StructField("sel_rank", IntegerType()),
+        StructField("doc_pos", LongType()),
+    ]
+)
+
+
+def parse_listing_stage(fetched: DataFrame) -> DataFrame:
+    """Listing HTML → anchor rows with ladder order (taz.py:188-206)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from german_newspaper_crawler_spark.parse.html import extract_anchors
+
+        for pdf in batches:
+            rows = []
+            for url, domain, base_url, html in zip(
+                pdf["url"], pdf["domain"], pdf["base_url"], pdf["html"]
+            ):
+                for href, text, rank, pos in extract_anchors(html or ""):
+                    rows.append((url, domain, base_url, href, text, rank, pos))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _ANCHOR_SCHEMA.fields]
+            )
+
+    return fetched.mapInPandas(run, schema=_ANCHOR_SCHEMA)
+
+
+def refill_from_anchors(
+    anchors: DataFrame, seen: DataFrame, round_no: int, cfg: CrawlConfig
+) -> DataFrame:
+    """Anchor rows → new pending frontier rows, reproducing the reference's
+    link-collection skip order (taz.py:210-247):
+
+    1. validity filter (P1) on the *stripped* href,
+    2. absolutize via plain urljoin (F5 — no canonicalization, so the
+       seen-set digests match the reference bit-for-bit),
+    3. per-instance known-hash skip: url-hash OR (non-empty) anchor-text-hash
+       against ``seen`` — anti-joins J1,
+    4. first-occurrence dedup by (sel_rank, doc_pos) (W2),
+    """
+    from german_newspaper_crawler_spark.functions.urls import urljoin_batch
+
+    @F.pandas_udf(StringType())
+    def urljoin_udf(bases: pd.Series, hrefs: pd.Series) -> pd.Series:
+        return urljoin_batch(bases, hrefs)
+
+    cand = (
+        anchors.withColumn("href", F.trim("href"))
+        .where(href_valid("href"))
+        .withColumn("abs_url", urljoin_udf(F.col("base_url"), F.col("href")))
+        .withColumn("url_hash", hashing.sha256_hex("abs_url"))
+        .withColumn(
+            "text_hash",
+            F.when(
+                F.col("anchor_text") != "", F.sha2(F.trim("anchor_text"), 256)
+            ),
+        )
+    )
+    seen_h = seen.select(F.col("content_hash").alias("h")).distinct()
+    cand = cand.join(seen_h, cand.url_hash == seen_h.h, "left_anti")
+    cand = cand.join(seen_h, cand.text_hash == seen_h.h, "left_anti")
+    deduped = FR.first_occurrence_dedup(cand)
+    return FR.anchors_to_frontier(deduped, round_no, cfg.n_buckets, kind="article")
+
+
+# --- article parse (P4/P5/G5) -------------------------------------------------
+
+_FIG = StructType([StructField("src", StringType()), StructField("caption", StringType())])
+_ARTICLE_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("host", StringType()),
+        StructField("domain", StringType()),
+        StructField("base_url", StringType()),
+        StructField("priority", IntegerType()),
+        StructField("seq", LongType()),
+        StructField("status", IntegerType()),
+        StructField("titel", StringType()),
+        StructField("teaser", StringType()),
+        StructField("autor", StringType()),
+        StructField("category", StringType()),
+        StructField("published_date", TimestampType()),
+        StructField("html", StringType()),
+        StructField("text", StringType()),
+        StructField("figures", ArrayType(_FIG)),
+    ]
+)
+
+
+def parse_article_stage(fetched: DataFrame) -> DataFrame:
+    """Article HTML → metadata/body/figures (taz.py:19-141,264-365). Failed
+    fetches (html="") still yield rows — the reference upserts them with
+    empty text (web_requests.py:129-150)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from german_newspaper_crawler_spark.parse.html import parse_article
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                d = parse_article(r.url, r.html or "")
+                rows.append(
+                    (
+                        r.url, r.host, r.domain, r.base_url, r.priority, r.seq,
+                        r.status, d["titel"], d["teaser"], d["autor"], d["category"],
+                        d["published_date"], d["html"], d["text"],
+                        d["figures"],
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in _ARTICLE_SCHEMA.fields])
+
+    return fetched.mapInPandas(run, schema=_ARTICLE_SCHEMA)
+
+
+# --- enrichment (X4 whitespace-fallback tagger — pure SQL, no UDF) ------------
+
+def enrich_pos_tags(df: DataFrame, cfg: CrawlConfig) -> DataFrame:
+    """pos_tag_object semantics (pos_tagging.py:169-227) with the spaCy-less
+    whitespace fallback (pos_tagging.py:108-116): tokens (i, w, '', '', ''),
+    cap at MAX_POS_TAG_ENTRIES; skipped entirely (→ []) for binary urls, PDF
+    magic, empty text, or token estimate over MAX_POS_TAG_TOKENS."""
+    from german_newspaper_crawler_spark.functions.text import token_count_estimate
+    from german_newspaper_crawler_spark.functions.urls import is_binary_url
+
+    est = token_count_estimate("text")
+    skip = (
+        is_binary_url("url")
+        | F.ltrim(F.coalesce(F.col("html"), F.lit(""))).startswith("%PDF")
+        | (F.coalesce(F.col("text"), F.lit("")) == "")
+        | (est > cfg.pos_tag_skip)
+    )
+    tags = F.expr(
+        f"""transform(
+              slice(split(trim(text), '\\\\s+'), 1, {cfg.pos_tag_cap}),
+              (w, i) -> struct(cast(i as int) as tid, w as token,
+                               '' as lemma, '' as tag, '' as pos))"""
+    )
+    return df.withColumn(
+        "pos_taggs",
+        F.when(skip, F.array().cast(ArrayType(schemas.POS_TAG))).otherwise(tags),
+    )
+
+
+# --- image stage (G5/G6) -------------------------------------------------------
+
+def image_stage(fetched_images: DataFrame) -> DataFrame:
+    """Fetched image bytes → IMAGES rows: decode (in-repo codec) + dims +
+    pHash, Arrow-batched. Undecodable rows are dropped to a metric (at scale:
+    quarantine table)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from german_newspaper_crawler_spark.functions.codec import decode_image
+        from german_newspaper_crawler_spark.functions.phash import phash64
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                if r.content is None:
+                    continue
+                data = bytes(r.content)
+                try:
+                    rgb = decode_image(data)
+                except (NotImplementedError, ValueError):
+                    continue
+                fmt = "png" if data[:4] == b"\x89PNG"[:4] else "jpeg"
+                rows.append(
+                    (
+                        r.url,  # image_id = source url (stable)
+                        data,
+                        int(rgb.shape[1]),
+                        int(rgb.shape[0]),
+                        fmt,
+                        r.anchor_text or "",
+                        phash64(rgb),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
+            )
+
+    return fetched_images.mapInPandas(run, schema=schemas.IMAGES)
+
+
+# --- seen-set + articles commit -------------------------------------------------
+
+def article_identity(df: DataFrame) -> DataFrame:
+    """content_hash per §1.4: url-hash wins for http(s) urls, stripped
+    text/html hash otherwise (object_model.py:195-214)."""
+    return df.withColumn(
+        "content_hash", hashing.content_hash("url", "text", "html")
+    ).withColumn("url_hash", hashing.url_hash("url")).withColumn(
+        "text_content_hash", hashing.text_hash("text", "html")
+    )
+
+
+def skip_known(articles: DataFrame, seen: DataFrame) -> DataFrame:
+    """The three-variant known-hash skip (web_requests.py:182-193): drop the
+    row if content_hash OR url_hash OR text-content-hash is known."""
+    seen_h = seen.select(F.col("content_hash").alias("h")).distinct()
+    out = articles
+    for c in ["content_hash", "url_hash", "text_content_hash"]:
+        out = out.join(seen_h, out[c] == seen_h.h, "left_anti")
+    return out
+
+
+# --- the driver loop -------------------------------------------------------------
+
+def run_crawl(
+    spark: SparkSession,
+    store: SnapshotStore,
+    seeds: DataFrame,
+    fetcher: Fetcher,
+    cfg: CrawlConfig | None = None,
+    robots: dict | None = None,
+    run_id: str = "run-0",
+) -> dict:
+    """Run crawl rounds until the frontier drains or max_rounds is hit.
+    Resumable: all state (frontier/seen/articles/images) lives in the store;
+    re-invoking continues from the last committed snapshots (G7/T2)."""
+    cfg = cfg or CrawlConfig()
+    metrics: list[dict] = []
+
+    if not store.exists("frontier"):
+        store.append("frontier", FR.frontier_from_seeds(seeds, cfg.n_buckets))
+    if not store.exists("seen"):
+        store.append("seen", spark.createDataFrame([], schemas.SEEN))
+
+    total_fetched = total_articles = total_images = 0
+    for rnd in range(cfg.max_rounds):
+        frontier = store.read(spark, "frontier")
+        batch = FR.pop_batch(frontier, cfg.per_host_budget)
+        if batch.isEmpty():
+            break
+        seen = store.read(spark, "seen", schemas.SEEN)
+
+        fetched = fetch_stage(batch, fetcher, robots=robots, respect_delay=cfg.respect_delay)
+        fetched.cache()
+        n_fetched = fetched.count()
+
+        # 1) listings → new article frontier rows
+        listings = fetched.where(F.col("kind") == "listing")
+        new_frontier = []
+        anchors = parse_listing_stage(listings)
+        refill = refill_from_anchors(anchors, seen, rnd + 1, cfg).cache()
+        if not refill.isEmpty():
+            new_frontier.append(refill)
+
+        # 2) articles → parse, identity, skip, enrich, ids, merge
+        n_articles = 0
+        # robots-blocked rows (status -403) were never fetched — they must
+        # not become (empty) article rows; failures (status 0/4xx/5xx) DO,
+        # per the reference's empty-html upsert path (web_requests.py:129-150)
+        art_fetched = fetched.where(
+            (F.col("kind") == "article") & (F.col("status") != -403)
+        )
+        if not art_fetched.isEmpty():
+            parsed = article_identity(parse_article_stage(art_fetched)).cache()
+            fresh = skip_known(parsed, seen)
+            enriched = enrich_pos_tags(fresh, cfg)
+            # post-tag re-check (web_requests.py:205-211) — the whitespace
+            # tagger never mutates content_hash, so only the content_hash
+            # variant can ever hit; kept as the same anti-join for parity.
+            seen_h2 = seen.select(F.col("content_hash").alias("h")).distinct()
+            enriched = enriched.join(
+                seen_h2, enriched.content_hash == seen_h2.h, "left_anti"
+            )
+            parsed_ts = cfg.parsed_ts or datetime.utcnow()
+            from german_newspaper_crawler_spark.operators.ids import assign_ids
+
+            prev_max = 0
+            if store.exists("articles"):
+                row = store.read(spark, "articles").agg(F.max("_id")).first()
+                prev_max = row[0] or 0
+            final = (
+                enriched.withColumn(
+                    "parsed_date",
+                    F.when(F.col("text") != "", F.lit(parsed_ts)).otherwise(
+                        F.lit(None).cast("timestamp")
+                    ),
+                )
+                .withColumn("ai_keywords", F.array().cast(ArrayType(StringType())))
+            )
+            ordered_cols = ["domain", "priority", "seq"]
+            final = assign_ids(final, order_cols=ordered_cols, offset=prev_max)
+            articles_out = final.select(
+                "_id", "url", "titel", "teaser", "autor", "category",
+                "published_date", "parsed_date", "html", "text",
+                "ai_keywords", "pos_taggs", "content_hash", "domain",
+            ).cache()
+            n_articles = articles_out.count()
+            if n_articles:
+                store.merge(spark, "articles", articles_out, keys=["content_hash"])
+                store.append(
+                    "seen",
+                    articles_out.select(
+                        "content_hash",
+                        "domain",
+                        F.lit(cfg.parsed_ts or datetime.utcnow()).alias("added_at"),
+                    ).where(F.col("content_hash").isNotNull()),
+                )
+            # 3) figures → image frontier rows
+            if cfg.extract_images:
+                figs = (
+                    parsed
+                    .select(
+                        "url", "domain", "base_url", "priority", "seq",
+                        F.explode_outer("figures").alias("fig"),
+                    )
+                    .where(F.col("fig").isNotNull())
+                    .select(
+                        "url", "domain", "base_url", "priority", "seq",
+                        F.col("fig.src").alias("href"),
+                        F.col("fig.caption").alias("anchor_text"),
+                        F.col("priority").alias("sel_rank"),
+                        F.col("seq").alias("doc_pos"),
+                    )
+                )
+                from german_newspaper_crawler_spark.functions.urls import urljoin_batch
+
+                @F.pandas_udf(StringType())
+                def uj(bases: pd.Series, hrefs: pd.Series) -> pd.Series:
+                    return urljoin_batch(bases, hrefs)
+
+                # image srcs resolve against the article page they appear on
+                figs = figs.withColumn("abs_url", uj(F.col("url"), F.col("href")))
+                figs = FR.first_occurrence_dedup(figs)
+                img_frontier = FR.anchors_to_frontier(figs, rnd + 1, cfg.n_buckets, kind="image")
+                if not img_frontier.isEmpty():
+                    new_frontier.append(img_frontier)
+
+        # 4) images → decode + phash + dedup + append
+        n_images = 0
+        img_fetched = fetched.where(F.col("kind") == "image")
+        if not img_fetched.isEmpty():
+            imgs = image_stage(img_fetched).cache()
+            if store.exists("images"):
+                existing = store.read(spark, "images").select("phash").distinct()
+                imgs = imgs.join(existing, "phash", "left_anti")  # exact-phash dedup
+            imgs = FR.first_occurrence_dedup(
+                imgs.withColumn("sel_rank", F.lit(0)).withColumn("doc_pos", F.lit(0)),
+                url_col="phash",
+            ).drop("sel_rank", "doc_pos")
+            n_images = imgs.count()
+            if n_images:
+                store.append("images", imgs)
+
+        # 5) frontier state transitions + refill (one merge on url)
+        from german_newspaper_crawler_spark.operators.merge import merge_upsert
+
+        done = fetched.select(
+            "url", "host", "bucket", "priority", "seq", "kind",
+            F.when(F.col("status") == 200, F.lit("fetched"))
+            .when(F.col("status") == -403, F.lit("blocked"))
+            .otherwise(F.lit("failed"))
+            .alias("state"),
+            F.lit(rnd).alias("round"),
+            "domain", "base_url",
+            F.lit(None).cast("string").alias("anchor_text"),
+            F.current_timestamp().alias("discovered_at"),
+        )
+        updated = merge_upsert(frontier, done, keys=["url"])
+        for nf in new_frontier:
+            # only genuinely-new urls enter (never downgrade a fetched row)
+            updated = updated.unionByName(
+                nf.join(updated.select("url"), "url", "left_anti")
+            )
+        store.overwrite("frontier", updated)
+
+        metrics.append(
+            {
+                "run_id": run_id, "round": rnd, "stage": "round",
+                "n_fetched": n_fetched, "n_articles": n_articles,
+                "n_images": n_images,
+            }
+        )
+        total_fetched += n_fetched
+        total_articles += n_articles
+        total_images += n_images
+        fetched.unpersist()
+
+    return {
+        "rounds": len(metrics),
+        "fetched": total_fetched,
+        "articles": total_articles,
+        "images": total_images,
+        "metrics": metrics,
+    }

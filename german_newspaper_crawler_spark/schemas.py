@@ -75,9 +75,32 @@ FRONTIER = StructType(
         StructField("bucket", IntegerType(), False),
         StructField("priority", IntegerType(), False),
         StructField("seq", LongType(), False),
+        StructField("kind", StringType(), False),  # listing | article | image
         StructField("state", StringType(), False),
         StructField("round", IntegerType(), False),
+        StructField("domain", StringType()),
+        StructField("base_url", StringType()),  # join base for relative hrefs
+        StructField("anchor_text", StringType()),
         StructField("discovered_at", TimestampType()),
+    ]
+)
+
+# Fetch-stage output (S5/S6 analog)
+FETCHED = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("host", StringType()),
+        StructField("bucket", IntegerType()),
+        StructField("priority", IntegerType()),
+        StructField("seq", LongType()),
+        StructField("kind", StringType()),
+        StructField("domain", StringType()),
+        StructField("base_url", StringType()),
+        StructField("anchor_text", StringType()),  # carries figcaption for kind=image
+        StructField("status", IntegerType()),
+        StructField("html", StringType()),
+        StructField("content", BinaryType()),
+        StructField("fetch_ms", LongType()),
     ]
 )
 

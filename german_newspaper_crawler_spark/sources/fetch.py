@@ -1,0 +1,134 @@
+"""Distributed fetch stage (S5/S6) with robots (G2) + politeness (G3).
+
+Reference behavior: ``fetch_url`` GET with timeout=15, caller turns any
+failure into ``html=""`` and continues (``lib/common/web_requests.py:15-20,
+129-133``); main path fetches strictly sequentially (``:127``), library path
+uses an 8-thread pool (``lib/common/parallel_fetcher.py:42-85``).
+
+Spark formulation: the pop batch is partitioned by ``bucket`` (a pure
+function of host, so one host never spans partitions) and each partition
+runs ``mapInPandas`` with:
+
+* robots check: rows whose path matches a disallowed prefix → status=-403,
+  never fetched (graft — reference fetches unconditionally),
+* politeness: per-host sequential fetch in (priority, seq) order with a
+  crawl-delay token (partition-local state — exactly the reference's
+  sequential loop, per host instead of global),
+* failure → status 0 / html "" (reference's log-and-continue wall),
+* per-partition metrics rows are emitted via an accumulator-free side
+  channel (the fetch_ms column) for the lineage table (G7).
+
+The fetcher is injected (reference test seam, taz.py:149-157): tests pass a
+dict-backed fetcher; production passes :func:`http_fetcher`.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from german_newspaper_crawler_spark import schemas
+
+# fetcher contract: url -> (status, html, content_bytes|None)
+Fetcher = Callable[[str], tuple[int, str, bytes | None]]
+
+
+def table_fetcher(pages: dict[str, tuple[int, str]], blobs: dict[str, bytes] | None = None) -> Fetcher:
+    """Dict-backed fetcher for fixtures (the injected-fetcher test seam)."""
+    blobs = blobs or {}
+
+    def fetch(url: str) -> tuple[int, str, bytes | None]:
+        if url in blobs:
+            return 200, "", blobs[url]
+        if url in pages:
+            status, html = pages[url]
+            return status, html, None
+        return 404, "", None
+
+    return fetch
+
+
+def http_fetcher(timeout: int = 15, headers: dict | None = None) -> Fetcher:
+    """Real HTTP fetcher (reference fetch_url semantics: raise-for-status is
+    absorbed into status; text for pages, bytes for binary kinds)."""
+    import requests
+
+    def fetch(url: str) -> tuple[int, str, bytes | None]:
+        try:
+            r = requests.get(url, timeout=timeout, headers=headers)
+            ctype = r.headers.get("content-type", "")
+            if ctype.startswith(("image/", "application/")):
+                return r.status_code, "", r.content
+            return r.status_code, r.text, None
+        except Exception:
+            return 0, "", None  # caller-side empty-html semantics
+
+    return fetch
+
+
+def _path_of(url: str) -> str:
+    i = url.find("/", url.find("://") + 3)
+    return url[i:] if i >= 0 else "/"
+
+
+def fetch_stage(
+    batch: DataFrame,
+    fetcher: Fetcher,
+    robots: dict[str, tuple[list[str], int]] | None = None,
+    respect_delay: bool = False,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Run the fetch over a pop batch → FETCHED rows.
+
+    ``robots`` maps host → (disallow_prefixes, crawl_delay_ms); it is a
+    broadcast-sized dict (one row per host seen this round — at 10^10 scale
+    this becomes a broadcast join against the robots table, same shape).
+    """
+    robots = robots or {}
+    cols = ["url", "host", "bucket", "priority", "seq", "kind", "domain", "base_url", "anchor_text"]
+    src = batch.select(*cols)
+    parts = n_partitions or max(src.sparkSession.sparkContext.defaultParallelism, 1)
+    src = src.repartition(parts, "bucket")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        last_fetch: dict[str, float] = {}  # partition-local politeness state
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values(["host", "priority", "seq"], kind="mergesort")
+            statuses, htmls, contents, times = [], [], [], []
+            for url, host in zip(pdf["url"], pdf["host"]):
+                dis, delay_ms = robots.get(host, ([], 0))
+                path = _path_of(url)
+                if any(path.startswith(p) for p in dis):
+                    statuses.append(-403)  # robots-blocked, never fetched
+                    htmls.append("")
+                    contents.append(None)
+                    times.append(0)
+                    continue
+                if respect_delay and delay_ms:
+                    wait = last_fetch.get(host, 0) + delay_ms / 1000.0 - time.monotonic()
+                    if wait > 0:
+                        time.sleep(wait)
+                t0 = time.monotonic()
+                try:
+                    status, html, content = fetcher(url)
+                except Exception:
+                    status, html, content = 0, "", None  # web_requests.py:129-133
+                last_fetch[host] = time.monotonic()
+                statuses.append(status)
+                htmls.append(html if status == 200 else "")
+                contents.append(content if status == 200 else None)
+                times.append(int((time.monotonic() - t0) * 1000))
+            out = pdf.copy()
+            out["status"] = pd.Series(statuses, index=pdf.index, dtype="int32")
+            out["html"] = pd.Series(htmls, index=pdf.index, dtype=object)
+            out["content"] = pd.Series(contents, index=pdf.index, dtype=object)
+            out["fetch_ms"] = pd.Series(times, index=pdf.index, dtype="int64")
+            yield out
+
+    return src.mapInPandas(run, schema=schemas.FETCHED)

@@ -1,0 +1,120 @@
+"""Snapshot table store — the engine's table layer.
+
+Production target is an Iceberg catalog (``MERGE INTO`` / snapshots /
+``bucket(N, host)`` partition specs, as designed in SURVEY §2.1 K1/K2 and
+§2.11 G7). The sandbox has no Iceberg runtime jars, so this module provides
+the same narrow contract over parquet directories with an atomic
+manifest-swap commit:
+
+* every commit writes parquet data files into a new ``snap-NNNNNN/`` dir,
+* the table's current state is a JSON manifest listing live snapshot dirs,
+* ``os.replace`` of the manifest file is the atomic commit point,
+* readers resolve the manifest → read only live dirs (time travel = read an
+  older manifest entry; resume = the latest committed manifest, exactly the
+  Iceberg snapshot-checkpoint semantics the north rule requires).
+
+Appends add a snapshot dir to the live set; overwrites replace the live set;
+``merge`` rewrites the live set with MERGE semantics via
+:func:`operators.merge.merge_upsert`.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+class SnapshotStore:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- manifest helpers ---------------------------------------------------
+    def _tdir(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def _manifest_path(self, table: str) -> str:
+        return os.path.join(self._tdir(table), "manifest.json")
+
+    def _read_manifest(self, table: str) -> dict:
+        p = self._manifest_path(table)
+        if not os.path.exists(p):
+            return {"snapshots": [], "live": [], "seq": 0}
+        with open(p) as f:
+            return json.load(f)
+
+    def _commit(self, table: str, manifest: dict) -> None:
+        tmp = self._manifest_path(table) + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(tmp, self._manifest_path(table))  # atomic commit point
+
+    # -- public API -----------------------------------------------------------
+    def exists(self, table: str) -> bool:
+        return bool(self._read_manifest(table)["live"])
+
+    def snapshot_id(self, table: str) -> int:
+        return self._read_manifest(table)["seq"]
+
+    def read(self, spark: SparkSession, table: str, schema: StructType | None = None) -> DataFrame:
+        m = self._read_manifest(table)
+        if not m["live"]:
+            if schema is None:
+                raise FileNotFoundError(f"table {table} is empty and no schema given")
+            return spark.createDataFrame([], schema)
+        paths = [os.path.join(self._tdir(table), d) for d in m["live"]]
+        return spark.read.parquet(*paths)
+
+    def _write_snapshot(self, table: str, df: DataFrame) -> str:
+        m = self._read_manifest(table)
+        snap = f"snap-{m['seq'] + 1:06d}-{uuid.uuid4().hex[:8]}"
+        df.write.mode("errorifexists").parquet(os.path.join(self._tdir(table), snap))
+        return snap
+
+    def append(self, table: str, df: DataFrame, op: str = "append") -> int:
+        snap = self._write_snapshot(table, df)
+        m = self._read_manifest(table)
+        m["seq"] += 1
+        m["live"].append(snap)
+        m["snapshots"].append({"id": m["seq"], "dir": snap, "op": op, "ts": time.time(), "live": list(m["live"])})
+        self._commit(table, m)
+        return m["seq"]
+
+    def overwrite(self, table: str, df: DataFrame, op: str = "overwrite") -> int:
+        snap = self._write_snapshot(table, df)
+        m = self._read_manifest(table)
+        m["seq"] += 1
+        m["live"] = [snap]
+        m["snapshots"].append({"id": m["seq"], "dir": snap, "op": op, "ts": time.time(), "live": [snap]})
+        self._commit(table, m)
+        return m["seq"]
+
+    def merge(self, spark: SparkSession, table: str, batch: DataFrame, keys: list[str],
+              schema: StructType | None = None) -> int:
+        """MERGE INTO table USING batch ON keys — batch wins, else insert.
+
+        Iceberg performs this as a metadata-level rewrite of affected files;
+        here the live set is compacted into one snapshot (same result set).
+        """
+        from german_newspaper_crawler_spark.operators.merge import merge_upsert
+
+        if self.exists(table):
+            base = self.read(spark, table)
+            merged = merge_upsert(base, batch, keys)
+        else:
+            merged = batch
+        return self.overwrite(table, merged, op="merge")
+
+    def read_at(self, spark: SparkSession, table: str, snapshot_id: int) -> DataFrame:
+        """Time travel: read the table as of a committed snapshot id."""
+        m = self._read_manifest(table)
+        for s in m["snapshots"]:
+            if s["id"] == snapshot_id:
+                paths = [os.path.join(self._tdir(table), d) for d in s["live"]]
+                return spark.read.parquet(*paths)
+        raise KeyError(f"snapshot {snapshot_id} not found for {table}")

@@ -1,0 +1,194 @@
+"""End-to-end crawl parity vs the reference-semantics simulator.
+
+Golden = tests/reference_sim.simulate_crawl (the sequential model of
+/root/reference's main loop); subject = the distributed Spark pipeline with
+the same fixtures and an injected dict-backed fetcher. Asserts:
+
+* identical fetch/upsert ORDER (ids 1..n in the simulator's order),
+* identical URL-seen set (union semantics; U2 quirk documented in SURVEY §1.4),
+* identical extracted fields per row (teaser/autor/category/published/text/
+  pos_taggs/parsed_date),
+* idempotent re-run (second crawl adds zero rows),
+* pre-seeded seen-set skip paths (url-hash AND anchor-text-hash variants),
+* image invariants: caption equality + decoded-pixel PSNR >= 40 dB + exact
+  pHash dup suppression (BASELINE.json input_hint).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from datetime import datetime
+
+import numpy as np
+import pytest
+
+from german_newspaper_crawler_spark.fixtures import make_fixtures
+from german_newspaper_crawler_spark.plans.crawl import CrawlConfig, run_crawl
+from german_newspaper_crawler_spark.sources.fetch import table_fetcher
+from german_newspaper_crawler_spark.sources.store import SnapshotStore
+from tests.reference_sim import simulate_crawl
+
+PARSED_TS = datetime(2026, 1, 2, 3, 4, 5)
+
+
+def sha256(s: str) -> str:
+    return hashlib.sha256(s.encode()).hexdigest()
+
+
+@pytest.fixture(scope="module")
+def fixture_data():
+    return make_fixtures(n_hosts=2, articles_per_host=6, figs_per_article=2)
+
+
+@pytest.fixture(scope="module")
+def crawl_result(spark, fixture_data, tmp_path_factory):
+    seeds, pages, blobs, truth = fixture_data
+    store = SnapshotStore(str(tmp_path_factory.mktemp("crawlstore")))
+    seeds_df = spark.createDataFrame(
+        [(s["domain"], s["base_url"], s["host"], s["collection"]) for s in seeds],
+        ["domain", "base_url", "host", "collection"],
+    )
+    cfg = CrawlConfig(n_buckets=8, max_rounds=4, parsed_ts=PARSED_TS)
+    stats = run_crawl(
+        spark, store, seeds_df, table_fetcher(pages, blobs), cfg=cfg
+    )
+    return store, stats, cfg, seeds_df
+
+
+def test_crawl_matches_reference_simulator(spark, fixture_data, crawl_result):
+    seeds, pages, blobs, truth = fixture_data
+    store, stats, cfg, _ = crawl_result
+    golden, golden_known, fetch_order = simulate_crawl(seeds, pages, parsed_ts=PARSED_TS)
+
+    arts = (
+        store.read(spark, "articles")
+        .toPandas()
+        .sort_values("_id")
+        .reset_index(drop=True)
+    )
+    assert len(arts) == len(golden)
+    # exact crawl/upsert order
+    assert list(arts["url"]) == [r["url"] for r in golden]
+    assert list(arts["_id"]) == [r["_id"] for r in golden]
+    # field-level parity
+    for i, g in enumerate(golden):
+        row = arts.iloc[i]
+        for f in ["teaser", "autor", "category", "text", "html", "content_hash"]:
+            assert row[f] == g[f], (g["url"], f, row[f], g[f])
+        import pandas as pd
+
+        gp = g["published_date"]
+        rp = row["published_date"]
+        assert (pd.isna(rp) and gp is None) or (
+            not pd.isna(rp) and gp is not None and rp.to_pydatetime() == gp
+        ), (g["url"], rp, gp)
+        assert pd.isna(row["parsed_date"]) == (g["parsed_date"] is None)
+        tags = row["pos_taggs"] if row["pos_taggs"] is not None else []
+        got_tags = [(t["tid"], t["token"]) for t in tags]
+        assert got_tags == [(t[0], t[1]) for t in g["pos_taggs"]], g["url"]
+    # seen set (union semantics across collections)
+    seen = {
+        r["content_hash"]
+        for r in store.read(spark, "seen").select("content_hash").collect()
+    }
+    assert seen == {r["content_hash"] for r in golden if r["content_hash"]}
+
+
+def test_idempotent_rerun(spark, fixture_data, crawl_result):
+    seeds, pages, blobs, truth = fixture_data
+    store, stats, cfg, seeds_df = crawl_result
+    n_before = store.read(spark, "articles").count()
+    stats2 = run_crawl(spark, store, seeds_df, table_fetcher(pages, blobs), cfg=cfg)
+    assert stats2["articles"] == 0
+    assert store.read(spark, "articles").count() == n_before
+
+
+def test_preseeded_seen_skips(spark, tmp_path):
+    """URL-hash and anchor-text-hash skip variants (taz.py:220-241).
+
+    Single-domain fixture: with >1 domain the reference's U2 refresh-replace
+    quirk (scr:112-113) DISCARDS pre-seeded hashes after the first domain;
+    the engine deliberately keeps the persistent union seen-set instead
+    (SURVEY §1.4 decision), so parity for the skip paths is defined on the
+    reference's actual single-domain configuration (config.yaml:13-17).
+    """
+    from datetime import datetime as dt
+
+    seeds, pages, blobs, truth = make_fixtures(
+        n_hosts=1, articles_per_host=6, figs_per_article=2
+    )
+    host0 = seeds[0]["host"]
+    pre = {
+        sha256(f"https://{host0}/artikel/a1"),  # url-hash skip
+        sha256("Beitrag 2"),  # anchor-text-hash skip (a2's anchor text)
+    }
+    golden, _, _ = simulate_crawl(seeds, pages, known_hashes=set(pre), parsed_ts=PARSED_TS)
+    golden_urls = {r["url"] for r in golden}
+    assert f"https://{host0}/artikel/a1" not in golden_urls
+    assert f"https://{host0}/artikel/a2" not in golden_urls
+
+    store = SnapshotStore(str(tmp_path / "store2"))
+    import german_newspaper_crawler_spark.schemas as schemas
+
+    seeds_df = spark.createDataFrame(
+        [(s["domain"], s["base_url"], s["host"], s["collection"]) for s in seeds],
+        ["domain", "base_url", "host", "collection"],
+    )
+    store.append(
+        "seen",
+        spark.createDataFrame(
+            [(h, "pre", dt(2025, 1, 1)) for h in pre], schemas.SEEN
+        ),
+    )
+    cfg = CrawlConfig(n_buckets=8, max_rounds=4, parsed_ts=PARSED_TS, extract_images=False)
+    run_crawl(spark, store, seeds_df, table_fetcher(pages, blobs), cfg=cfg)
+    spark_urls = {
+        r["url"] for r in store.read(spark, "articles").select("url").collect()
+    }
+    assert spark_urls == golden_urls
+
+
+def test_image_invariants(spark, fixture_data, crawl_result):
+    """input_hint per-row invariant: caption equality + PSNR >= 40 dB; exact
+    pHash duplicates suppressed."""
+    from german_newspaper_crawler_spark.functions.codec import decode_image, psnr
+    from german_newspaper_crawler_spark.functions.phash import phash64
+
+    seeds, pages, blobs, truth = fixture_data
+    store, stats, cfg, _ = crawl_result
+    imgs = store.read(spark, "images").toPandas()
+    assert len(imgs) > 0
+    # phash uniqueness (exact-dup suppression)
+    assert imgs["phash"].nunique() == len(imgs)
+    # blobs of the deliberately-failed article (a5, status 500) are never
+    # discovered; everything else must be present exactly once per phash
+    reachable = {u: b for u, b in blobs.items() if "/img/5_" not in u}
+    expected_distinct = len({phash64(decode_image(b)) for b in reachable.values()})
+    assert len(imgs) == expected_distinct
+    for row in imgs.itertuples(index=False):
+        t = truth[row.image_id]
+        assert row.caption == t["caption"], row.image_id
+        rgb = decode_image(bytes(row.bytes))
+        assert rgb.shape == (row.h, row.w, 3)
+        p = psnr(t["rgb"], rgb)
+        assert p == float("inf") or p >= 40.0, (row.image_id, p)
+        assert row.fmt == t["fmt"]
+
+
+def test_resume_from_checkpoint(spark, fixture_data, tmp_path):
+    """T2/G7: stop after the listing round, resume in a new run — final state
+    identical to an uninterrupted crawl (Iceberg-snapshot-style resume)."""
+    seeds, pages, blobs, truth = fixture_data
+    seeds_df = spark.createDataFrame(
+        [(s["domain"], s["base_url"], s["host"], s["collection"]) for s in seeds],
+        ["domain", "base_url", "host", "collection"],
+    )
+    store = SnapshotStore(str(tmp_path / "store3"))
+    cfg1 = CrawlConfig(n_buckets=8, max_rounds=1, parsed_ts=PARSED_TS)
+    run_crawl(spark, store, seeds_df, table_fetcher(pages, blobs), cfg=cfg1)
+    assert not store.exists("articles")  # only listings fetched so far
+    cfg2 = CrawlConfig(n_buckets=8, max_rounds=4, parsed_ts=PARSED_TS)
+    run_crawl(spark, store, seeds_df, table_fetcher(pages, blobs), cfg=cfg2)
+    golden, _, _ = simulate_crawl(seeds, pages, parsed_ts=PARSED_TS)
+    arts = store.read(spark, "articles").toPandas().sort_values("_id")
+    assert list(arts["url"]) == [r["url"] for r in golden]
