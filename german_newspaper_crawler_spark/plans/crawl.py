@@ -27,7 +27,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    ArrayType, IntegerType, LongType, StringType, StructField, StructType, TimestampType,
+    ArrayType, BinaryType, BooleanType, IntegerType, LongType, StringType,
+    StructField, StructType, TimestampType,
 )
 
 from german_newspaper_crawler_spark import schemas
@@ -59,25 +60,28 @@ _ANCHOR_SCHEMA = StructType(
         StructField("base_url", StringType()),
         StructField("href", StringType()),
         StructField("anchor_text", StringType()),
-        StructField("sel_rank", IntegerType()),
+        StructField("sel_rank", IntegerType()),  # -1 = per-page status marker row
         StructField("doc_pos", LongType()),
+        StructField("status", IntegerType()),
     ]
 )
 
 
 def parse_listing_stage(fetched: DataFrame) -> DataFrame:
-    """Listing HTML → anchor rows with ladder order (taz.py:188-206)."""
+    """Listing HTML → anchor rows with ladder order (taz.py:188-206).
+    Split-stage variant (pre-fetched rows in); the crawl loop uses the fused
+    fetch_parse_listings_stage."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from german_newspaper_crawler_spark.parse.html import extract_anchors
 
         for pdf in batches:
             rows = []
-            for url, domain, base_url, html in zip(
-                pdf["url"], pdf["domain"], pdf["base_url"], pdf["html"]
+            for url, domain, base_url, html, status in zip(
+                pdf["url"], pdf["domain"], pdf["base_url"], pdf["html"], pdf["status"]
             ):
                 for href, text, rank, pos in extract_anchors(html or ""):
-                    rows.append((url, domain, base_url, href, text, rank, pos))
+                    rows.append((url, domain, base_url, href, text, rank, pos, status))
             yield pd.DataFrame(
                 rows, columns=[f.name for f in _ANCHOR_SCHEMA.fields]
             )
@@ -140,11 +144,190 @@ _ARTICLE_SCHEMA = StructType(
         StructField("autor", StringType()),
         StructField("category", StringType()),
         StructField("published_date", TimestampType()),
-        StructField("html", StringType()),
+        # html is stored zlib-compressed: raw page html is the fattest column
+        # (10-100 KB/row) and at 100 TB scale it must not stream uncompressed
+        # through Arrow/shuffle/storage. Logical html = zlib.decompress
+        # (utf-8). Identity hashes are computed python-side over the RAW
+        # strings (hashlib ≡ sha2, bit-identical), so the digests still match
+        # the reference exactly.
+        StructField("html_gz", BinaryType()),
         StructField("text", StringType()),
         StructField("figures", ArrayType(_FIG)),
+        StructField("content_hash", StringType()),
+        StructField("url_hash", StringType()),
+        StructField("text_content_hash", StringType()),
+        StructField("is_pdf_like", BooleanType()),
     ]
 )
+
+
+def fetch_parse_articles_stage(
+    batch: DataFrame,
+    fetcher,
+    robots: dict | None = None,
+    respect_delay: bool = False,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Fused fetch+parse for article rows — ONE mapInPandas, so the html
+    payload crosses the Arrow boundary once (JVM sends ~100-byte url rows in,
+    gets parsed rows out). This is the stage whose throughput the 100 TB
+    target scales with; the split fetch_stage/parse_article_stage pair moves
+    every page three times and bottlenecks on serialization bandwidth, not
+    CPU. Robots-blocked rows (status -403) are dropped here (never fetched →
+    no article row)."""
+    from german_newspaper_crawler_spark.sources.fetch import (
+        fetch_pandas_batch, partition_by_bucket,
+    )
+
+    robots = robots or {}
+    cols = ["url", "host", "bucket", "priority", "seq", "kind", "domain", "base_url", "anchor_text"]
+    src = partition_by_bucket(batch.select(*cols), n_partitions)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        import zlib
+
+        from german_newspaper_crawler_spark.parse.html import parse_article
+
+        def sha(s: str) -> str:
+            return hashlib.sha256(s.encode("utf-8")).hexdigest()
+
+        last_fetch: dict[str, float] = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            f = fetch_pandas_batch(pdf, fetcher, robots, respect_delay, last_fetch)
+            rows = []
+            for r in f.itertuples(index=False):
+                # robots-blocked rows stay (for frontier bookkeeping) with an
+                # empty parse; downstream filters status != -403 before upsert
+                html = r.html or ""
+                d = parse_article(r.url, html)
+                text = d["text"] or ""
+                # identity per §1.4 (object_model.py:195-214 +
+                # web_requests.py:159-175), python-side so raw html never
+                # crosses the Arrow boundary
+                is_http = r.url.startswith(("http://", "https://"))
+                url_hash = sha(r.url) if is_http else None
+                data = (text or html or "").strip()
+                text_hash = sha(data) if data else None
+                content_hash = url_hash if is_http else text_hash
+                rows.append(
+                    (
+                        r.url, r.host, r.domain, r.base_url, r.priority, r.seq,
+                        r.status, d["titel"], d["teaser"], d["autor"], d["category"],
+                        d["published_date"],
+                        zlib.compress(html.encode("utf-8"), 1),
+                        text, d["figures"],
+                        content_hash, url_hash, text_hash,
+                        bool(html) and html.lstrip().startswith("%PDF"),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f_.name for f_ in _ARTICLE_SCHEMA.fields])
+
+    return src.mapInPandas(run, schema=_ARTICLE_SCHEMA)
+
+
+def fetch_parse_listings_stage(
+    batch: DataFrame,
+    fetcher,
+    robots: dict | None = None,
+    respect_delay: bool = False,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Fused fetch + anchor-ladder extraction for listing rows (the P3
+    flatmap): listing html never leaves the Python worker."""
+    from german_newspaper_crawler_spark.sources.fetch import (
+        fetch_pandas_batch, partition_by_bucket,
+    )
+
+    robots = robots or {}
+    cols = ["url", "host", "bucket", "priority", "seq", "kind", "domain", "base_url", "anchor_text"]
+    src = partition_by_bucket(batch.select(*cols), n_partitions)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from german_newspaper_crawler_spark.parse.html import extract_anchors
+
+        last_fetch: dict[str, float] = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            f = fetch_pandas_batch(pdf, fetcher, robots, respect_delay, last_fetch)
+            rows = []
+            for r in f.itertuples(index=False):
+                # per-page status marker (sel_rank=-1) for frontier bookkeeping
+                rows.append((r.url, r.domain, r.base_url, None, None, -1, -1, r.status))
+                for href, text, rank, pos in extract_anchors(r.html or ""):
+                    rows.append((r.url, r.domain, r.base_url, href, text, rank, pos, r.status))
+            yield pd.DataFrame(rows, columns=[f_.name for f_ in _ANCHOR_SCHEMA.fields])
+
+    return src.mapInPandas(run, schema=_ANCHOR_SCHEMA)
+
+
+_IMAGE_OUT = StructType(
+    list(schemas.IMAGES.fields)
+    + [
+        StructField("url", StringType()),
+        StructField("status", IntegerType()),
+        StructField("priority", IntegerType()),
+        StructField("seq", LongType()),
+    ]
+)
+
+
+def fetch_images_stage(
+    batch: DataFrame,
+    fetcher,
+    robots: dict | None = None,
+    respect_delay: bool = False,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Fused fetch + decode + pHash for image rows (G5/G6): image bytes cross
+    the Arrow boundary once. Undecodable/blocked/failed rows keep their
+    (url, status) for frontier bookkeeping with NULL image fields."""
+    from german_newspaper_crawler_spark.sources.fetch import (
+        fetch_pandas_batch, partition_by_bucket,
+    )
+
+    robots = robots or {}
+    cols = ["url", "host", "bucket", "priority", "seq", "kind", "domain", "base_url", "anchor_text"]
+    src = partition_by_bucket(batch.select(*cols), n_partitions)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from german_newspaper_crawler_spark.functions.codec import decode_image
+        from german_newspaper_crawler_spark.functions.phash import phash64
+
+        last_fetch: dict[str, float] = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            f = fetch_pandas_batch(pdf, fetcher, robots, respect_delay, last_fetch)
+            rows = []
+            for r in f.itertuples(index=False):
+                rgb = None
+                data = bytes(r.content) if r.content is not None else None
+                if data is not None:
+                    try:
+                        rgb = decode_image(data)
+                    except (NotImplementedError, ValueError):
+                        rgb = None
+                if rgb is None:
+                    rows.append(
+                        (r.url, None, None, None, None, None, None,
+                         r.url, r.status, r.priority, r.seq)
+                    )
+                else:
+                    fmt = "png" if data[:4] == b"\x89PNG"[:4] else "jpeg"
+                    rows.append(
+                        (
+                            r.url, data, int(rgb.shape[1]), int(rgb.shape[0]), fmt,
+                            r.anchor_text or "", phash64(rgb),
+                            r.url, r.status, r.priority, r.seq,
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=[f_.name for f_ in _IMAGE_OUT.fields])
+
+    return src.mapInPandas(run, schema=_IMAGE_OUT)
 
 
 def parse_article_stage(fetched: DataFrame) -> DataFrame:
@@ -183,9 +366,14 @@ def enrich_pos_tags(df: DataFrame, cfg: CrawlConfig) -> DataFrame:
     from german_newspaper_crawler_spark.functions.urls import is_binary_url
 
     est = token_count_estimate("text")
+    pdf_like = (
+        F.coalesce(F.col("is_pdf_like"), F.lit(False))
+        if "is_pdf_like" in df.columns
+        else F.ltrim(F.coalesce(F.col("html"), F.lit(""))).startswith("%PDF")
+    )
     skip = (
         is_binary_url("url")
-        | F.ltrim(F.coalesce(F.col("html"), F.lit(""))).startswith("%PDF")
+        | pdf_like
         | (F.coalesce(F.col("text"), F.lit("")) == "")
         | (est > cfg.pos_tag_skip)
     )
@@ -245,7 +433,13 @@ def image_stage(fetched_images: DataFrame) -> DataFrame:
 
 def article_identity(df: DataFrame) -> DataFrame:
     """content_hash per §1.4: url-hash wins for http(s) urls, stripped
-    text/html hash otherwise (object_model.py:195-214)."""
+    text/html hash otherwise (object_model.py:195-214).
+
+    The fused fetch+parse stage already computes the hashes python-side over
+    the raw strings (bit-identical to sha2) — this is then a no-op; the JVM
+    path remains for callers holding raw html columns."""
+    if "content_hash" in df.columns:
+        return df
     return df.withColumn(
         "content_hash", hashing.content_hash("url", "text", "html")
     ).withColumn("url_hash", hashing.url_hash("url")).withColumn(
@@ -275,8 +469,12 @@ def run_crawl(
     run_id: str = "run-0",
 ) -> dict:
     """Run crawl rounds until the frontier drains or max_rounds is hit.
-    Resumable: all state (frontier/seen/articles/images) lives in the store;
-    re-invoking continues from the last committed snapshots (G7/T2)."""
+
+    Uses the FUSED fetch+parse stages throughout (one Arrow crossing per
+    payload). Resumable: all state (frontier/seen/articles/images) lives in
+    the store; re-invoking continues from the last committed snapshots
+    (G7/T2). Per-round counters go to the metrics list (lineage table analog).
+    """
     cfg = cfg or CrawlConfig()
     metrics: list[dict] = []
 
@@ -288,38 +486,47 @@ def run_crawl(
     total_fetched = total_articles = total_images = 0
     for rnd in range(cfg.max_rounds):
         frontier = store.read(spark, "frontier")
-        batch = FR.pop_batch(frontier, cfg.per_host_budget)
+        batch = FR.pop_batch(frontier, cfg.per_host_budget).cache()
         if batch.isEmpty():
+            batch.unpersist()
             break
         seen = store.read(spark, "seen", schemas.SEEN)
 
-        fetched = fetch_stage(batch, fetcher, robots=robots, respect_delay=cfg.respect_delay)
-        fetched.cache()
-        n_fetched = fetched.count()
+        new_frontier: list[DataFrame] = []
+        status_parts: list[DataFrame] = []  # (url, status) for state updates
+        n_articles = n_images = 0
 
-        # 1) listings → new article frontier rows
-        listings = fetched.where(F.col("kind") == "listing")
-        new_frontier = []
-        anchors = parse_listing_stage(listings)
-        refill = refill_from_anchors(anchors, seen, rnd + 1, cfg).cache()
-        if not refill.isEmpty():
+        # 1) listings → fused fetch+anchor-extract → frontier refill
+        listings = batch.where(F.col("kind") == "listing")
+        if not listings.isEmpty():
+            anchors = fetch_parse_listings_stage(
+                listings, fetcher, robots=robots, respect_delay=cfg.respect_delay
+            ).cache()
+            status_parts.append(
+                anchors.where(F.col("sel_rank") == -1).select("page_url", "status")
+                .withColumnRenamed("page_url", "url")
+            )
+            refill = refill_from_anchors(
+                anchors.where(F.col("sel_rank") >= 0), seen, rnd + 1, cfg
+            )
             new_frontier.append(refill)
 
-        # 2) articles → parse, identity, skip, enrich, ids, merge
-        n_articles = 0
-        # robots-blocked rows (status -403) were never fetched — they must
-        # not become (empty) article rows; failures (status 0/4xx/5xx) DO,
-        # per the reference's empty-html upsert path (web_requests.py:129-150)
-        art_fetched = fetched.where(
-            (F.col("kind") == "article") & (F.col("status") != -403)
-        )
-        if not art_fetched.isEmpty():
-            parsed = article_identity(parse_article_stage(art_fetched)).cache()
-            fresh = skip_known(parsed, seen)
+        # 2) articles → fused fetch+parse → identity → skip → enrich → merge
+        art_batch = batch.where(F.col("kind") == "article")
+        if not art_batch.isEmpty():
+            parsed = article_identity(
+                fetch_parse_articles_stage(
+                    art_batch, fetcher, robots=robots, respect_delay=cfg.respect_delay
+                )
+            ).cache()
+            status_parts.append(parsed.select("url", "status"))
+            # robots-blocked rows were never fetched → no article row;
+            # failures (status 0/4xx/5xx) DO upsert with empty html
+            # (web_requests.py:129-150)
+            fresh = skip_known(parsed.where(F.col("status") != -403), seen)
             enriched = enrich_pos_tags(fresh, cfg)
-            # post-tag re-check (web_requests.py:205-211) — the whitespace
-            # tagger never mutates content_hash, so only the content_hash
-            # variant can ever hit; kept as the same anti-join for parity.
+            # post-tag re-check (web_requests.py:205-211) — whitespace tagger
+            # never mutates content_hash; kept as the same anti-join for parity
             seen_h2 = seen.select(F.col("content_hash").alias("h")).distinct()
             enriched = enriched.join(
                 seen_h2, enriched.content_hash == seen_h2.h, "left_anti"
@@ -329,22 +536,17 @@ def run_crawl(
 
             prev_max = 0
             if store.exists("articles"):
-                row = store.read(spark, "articles").agg(F.max("_id")).first()
-                prev_max = row[0] or 0
-            final = (
-                enriched.withColumn(
-                    "parsed_date",
-                    F.when(F.col("text") != "", F.lit(parsed_ts)).otherwise(
-                        F.lit(None).cast("timestamp")
-                    ),
-                )
-                .withColumn("ai_keywords", F.array().cast(ArrayType(StringType())))
-            )
-            ordered_cols = ["domain", "priority", "seq"]
-            final = assign_ids(final, order_cols=ordered_cols, offset=prev_max)
+                prev_max = store.read(spark, "articles").agg(F.max("_id")).first()[0] or 0
+            final = enriched.withColumn(
+                "parsed_date",
+                F.when(F.col("text") != "", F.lit(parsed_ts)).otherwise(
+                    F.lit(None).cast("timestamp")
+                ),
+            ).withColumn("ai_keywords", F.array().cast(ArrayType(StringType())))
+            final = assign_ids(final, order_cols=["domain", "priority", "seq"], offset=prev_max)
             articles_out = final.select(
                 "_id", "url", "titel", "teaser", "autor", "category",
-                "published_date", "parsed_date", "html", "text",
+                "published_date", "parsed_date", "html_gz", "text",
                 "ai_keywords", "pos_taggs", "content_hash", "domain",
             ).cache()
             n_articles = articles_out.count()
@@ -353,15 +555,14 @@ def run_crawl(
                 store.append(
                     "seen",
                     articles_out.select(
-                        "content_hash",
-                        "domain",
-                        F.lit(cfg.parsed_ts or datetime.utcnow()).alias("added_at"),
+                        "content_hash", "domain",
+                        F.lit(parsed_ts).alias("added_at"),
                     ).where(F.col("content_hash").isNotNull()),
                 )
-            # 3) figures → image frontier rows
+            # 3) figures → image frontier rows (resolved against article url)
             if cfg.extract_images:
                 figs = (
-                    parsed
+                    parsed.where(F.col("status") == 200)
                     .select(
                         "url", "domain", "base_url", "priority", "seq",
                         F.explode_outer("figures").alias("fig"),
@@ -381,25 +582,30 @@ def run_crawl(
                 def uj(bases: pd.Series, hrefs: pd.Series) -> pd.Series:
                     return urljoin_batch(bases, hrefs)
 
-                # image srcs resolve against the article page they appear on
                 figs = figs.withColumn("abs_url", uj(F.col("url"), F.col("href")))
                 figs = FR.first_occurrence_dedup(figs)
-                img_frontier = FR.anchors_to_frontier(figs, rnd + 1, cfg.n_buckets, kind="image")
-                if not img_frontier.isEmpty():
-                    new_frontier.append(img_frontier)
+                new_frontier.append(
+                    FR.anchors_to_frontier(figs, rnd + 1, cfg.n_buckets, kind="image")
+                )
 
-        # 4) images → decode + phash + dedup + append
-        n_images = 0
-        img_fetched = fetched.where(F.col("kind") == "image")
-        if not img_fetched.isEmpty():
-            imgs = image_stage(img_fetched).cache()
+        # 4) images → fused fetch+decode+phash → exact-phash dedup → append
+        img_batch = batch.where(F.col("kind") == "image")
+        if not img_batch.isEmpty():
+            img_out = fetch_images_stage(
+                img_batch, fetcher, robots=robots, respect_delay=cfg.respect_delay
+            ).cache()
+            status_parts.append(img_out.select("url", "status"))
+            imgs = img_out.where(F.col("bytes").isNotNull()).select(
+                *[f.name for f in schemas.IMAGES.fields], "priority", "seq"
+            )
             if store.exists("images"):
                 existing = store.read(spark, "images").select("phash").distinct()
-                imgs = imgs.join(existing, "phash", "left_anti")  # exact-phash dedup
+                imgs = imgs.join(existing, "phash", "left_anti")
             imgs = FR.first_occurrence_dedup(
-                imgs.withColumn("sel_rank", F.lit(0)).withColumn("doc_pos", F.lit(0)),
+                imgs.withColumn("sel_rank", F.col("priority"))
+                .withColumn("doc_pos", F.col("seq")),
                 url_col="phash",
-            ).drop("sel_rank", "doc_pos")
+            ).select(*[f.name for f in schemas.IMAGES.fields])
             n_images = imgs.count()
             if n_images:
                 store.append("images", imgs)
@@ -407,24 +613,32 @@ def run_crawl(
         # 5) frontier state transitions + refill (one merge on url)
         from german_newspaper_crawler_spark.operators.merge import merge_upsert
 
-        done = fetched.select(
-            "url", "host", "bucket", "priority", "seq", "kind",
-            F.when(F.col("status") == 200, F.lit("fetched"))
-            .when(F.col("status") == -403, F.lit("blocked"))
-            .otherwise(F.lit("failed"))
-            .alias("state"),
-            F.lit(rnd).alias("round"),
-            "domain", "base_url",
-            F.lit(None).cast("string").alias("anchor_text"),
-            F.current_timestamp().alias("discovered_at"),
-        )
-        updated = merge_upsert(frontier, done, keys=["url"])
-        for nf in new_frontier:
-            # only genuinely-new urls enter (never downgrade a fetched row)
-            updated = updated.unionByName(
-                nf.join(updated.select("url"), "url", "left_anti")
+        n_fetched = 0
+        if status_parts:
+            statuses = status_parts[0]
+            for s in status_parts[1:]:
+                statuses = statuses.unionByName(s)
+            n_fetched = statuses.count()
+            done = (
+                batch.drop("state")
+                .join(statuses, "url")
+                .select(
+                    "url", "host", "bucket", "priority", "seq", "kind",
+                    F.when(F.col("status") == 200, F.lit("fetched"))
+                    .when(F.col("status") == -403, F.lit("blocked"))
+                    .otherwise(F.lit("failed"))
+                    .alias("state"),
+                    F.lit(rnd).alias("round"),
+                    "domain", "base_url", "anchor_text",
+                    F.current_timestamp().alias("discovered_at"),
+                )
             )
-        store.overwrite("frontier", updated)
+            updated = merge_upsert(frontier, done, keys=["url"])
+            for nf in new_frontier:
+                updated = updated.unionByName(
+                    nf.join(updated.select("url"), "url", "left_anti")
+                )
+            store.overwrite("frontier", updated)
 
         metrics.append(
             {
@@ -436,7 +650,7 @@ def run_crawl(
         total_fetched += n_fetched
         total_articles += n_articles
         total_images += n_images
-        fetched.unpersist()
+        batch.unpersist()
 
     return {
         "rounds": len(metrics),

@@ -43,7 +43,10 @@ ARTICLES = StructType(
         StructField("category", StringType()),
         StructField("published_date", TimestampType()),
         StructField("parsed_date", TimestampType()),
-        StructField("html", StringType()),
+        # raw page html, zlib-compressed at the extract boundary (logical
+        # html = utf-8 decompress; at 100 TB the raw-html column must never
+        # stream uncompressed through shuffle/Arrow/storage)
+        StructField("html_gz", BinaryType()),
         StructField("text", StringType()),
         StructField("ai_keywords", ArrayType(StringType())),
         StructField("pos_taggs", ArrayType(POS_TAG)),

@@ -74,6 +74,57 @@ def _path_of(url: str) -> str:
     return url[i:] if i >= 0 else "/"
 
 
+def fetch_pandas_batch(
+    pdf: pd.DataFrame,
+    fetcher: Fetcher,
+    robots: dict[str, tuple[list[str], int]],
+    respect_delay: bool,
+    last_fetch: dict[str, float],
+) -> pd.DataFrame:
+    """Fetch one Arrow batch (sorted per host by the explicit order key) with
+    robots + politeness enforcement. ``last_fetch`` is the caller's
+    partition-local politeness state. Returns pdf + status/html/content/
+    fetch_ms columns."""
+    pdf = pdf.sort_values(["host", "priority", "seq"], kind="mergesort")
+    statuses, htmls, contents, times = [], [], [], []
+    for url, host in zip(pdf["url"], pdf["host"]):
+        dis, delay_ms = robots.get(host, ([], 0))
+        path = _path_of(url)
+        if any(path.startswith(p) for p in dis):
+            statuses.append(-403)  # robots-blocked, never fetched
+            htmls.append("")
+            contents.append(None)
+            times.append(0)
+            continue
+        if respect_delay and delay_ms:
+            wait = last_fetch.get(host, 0) + delay_ms / 1000.0 - time.monotonic()
+            if wait > 0:
+                time.sleep(wait)
+        t0 = time.monotonic()
+        try:
+            status, html, content = fetcher(url)
+        except Exception:
+            status, html, content = 0, "", None  # web_requests.py:129-133
+        last_fetch[host] = time.monotonic()
+        statuses.append(status)
+        htmls.append(html if status == 200 else "")
+        contents.append(content if status == 200 else None)
+        times.append(int((time.monotonic() - t0) * 1000))
+    out = pdf.copy()
+    out["status"] = pd.Series(statuses, index=pdf.index, dtype="int32")
+    out["html"] = pd.Series(htmls, index=pdf.index, dtype=object)
+    out["content"] = pd.Series(contents, index=pdf.index, dtype=object)
+    out["fetch_ms"] = pd.Series(times, index=pdf.index, dtype="int64")
+    return out
+
+
+def partition_by_bucket(batch: DataFrame, n_partitions: int | None = None) -> DataFrame:
+    """Repartition a pop batch so a host never spans partitions (politeness
+    is partition-local, G3)."""
+    parts = n_partitions or max(batch.sparkSession.sparkContext.defaultParallelism, 1)
+    return batch.repartition(parts, "bucket")
+
+
 def fetch_stage(
     batch: DataFrame,
     fetcher: Fetcher,
@@ -86,49 +137,21 @@ def fetch_stage(
     ``robots`` maps host → (disallow_prefixes, crawl_delay_ms); it is a
     broadcast-sized dict (one row per host seen this round — at 10^10 scale
     this becomes a broadcast join against the robots table, same shape).
+
+    NOTE: for article rounds prefer the fused fetch+parse stage
+    (plans.crawl.fetch_parse_articles_stage) — it moves the multi-KB html
+    payload across the JVM↔Python Arrow boundary once instead of three
+    times, which is what the throughput scales with.
     """
     robots = robots or {}
     cols = ["url", "host", "bucket", "priority", "seq", "kind", "domain", "base_url", "anchor_text"]
-    src = batch.select(*cols)
-    parts = n_partitions or max(src.sparkSession.sparkContext.defaultParallelism, 1)
-    src = src.repartition(parts, "bucket")
+    src = partition_by_bucket(batch.select(*cols), n_partitions)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         last_fetch: dict[str, float] = {}  # partition-local politeness state
-
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            pdf = pdf.sort_values(["host", "priority", "seq"], kind="mergesort")
-            statuses, htmls, contents, times = [], [], [], []
-            for url, host in zip(pdf["url"], pdf["host"]):
-                dis, delay_ms = robots.get(host, ([], 0))
-                path = _path_of(url)
-                if any(path.startswith(p) for p in dis):
-                    statuses.append(-403)  # robots-blocked, never fetched
-                    htmls.append("")
-                    contents.append(None)
-                    times.append(0)
-                    continue
-                if respect_delay and delay_ms:
-                    wait = last_fetch.get(host, 0) + delay_ms / 1000.0 - time.monotonic()
-                    if wait > 0:
-                        time.sleep(wait)
-                t0 = time.monotonic()
-                try:
-                    status, html, content = fetcher(url)
-                except Exception:
-                    status, html, content = 0, "", None  # web_requests.py:129-133
-                last_fetch[host] = time.monotonic()
-                statuses.append(status)
-                htmls.append(html if status == 200 else "")
-                contents.append(content if status == 200 else None)
-                times.append(int((time.monotonic() - t0) * 1000))
-            out = pdf.copy()
-            out["status"] = pd.Series(statuses, index=pdf.index, dtype="int32")
-            out["html"] = pd.Series(htmls, index=pdf.index, dtype=object)
-            out["content"] = pd.Series(contents, index=pdf.index, dtype=object)
-            out["fetch_ms"] = pd.Series(times, index=pdf.index, dtype="int64")
-            yield out
+            yield fetch_pandas_batch(pdf, fetcher, robots, respect_delay, last_fetch)
 
     return src.mapInPandas(run, schema=schemas.FETCHED)

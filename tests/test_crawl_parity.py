@@ -71,10 +71,14 @@ def test_crawl_matches_reference_simulator(spark, fixture_data, crawl_result):
     assert list(arts["url"]) == [r["url"] for r in golden]
     assert list(arts["_id"]) == [r["_id"] for r in golden]
     # field-level parity
+    import zlib
+
     for i, g in enumerate(golden):
         row = arts.iloc[i]
-        for f in ["teaser", "autor", "category", "text", "html", "content_hash"]:
+        for f in ["teaser", "autor", "category", "text", "content_hash"]:
             assert row[f] == g[f], (g["url"], f, row[f], g[f])
+        # html stored zlib-compressed; logical content must match exactly
+        assert zlib.decompress(bytes(row["html_gz"])).decode("utf-8") == g["html"], g["url"]
         import pandas as pd
 
         gp = g["published_date"]

@@ -1,0 +1,54 @@
+"""Operator-level property tests: id-assignment determinism across partition
+counts (SURVEY §5.2 item 3), merge semantics, store snapshots."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from german_newspaper_crawler_spark.operators.ids import assign_ids
+from german_newspaper_crawler_spark.operators.merge import merge_upsert
+from german_newspaper_crawler_spark.sources.store import SnapshotStore
+
+
+def test_assign_ids_matches_row_number_any_partitioning(spark):
+    df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    expect = [
+        (r["event_id"], r["_id"])
+        for r in df.selectExpr(
+            "event_id", "1000 + row_number() over (order by ts, event_id) as _id"
+        ).collect()
+    ]
+    for parts in (1, 3, 16):
+        got = [
+            (r["event_id"], r["_id"])
+            for r in assign_ids(
+                df.repartition(7), ["ts", "event_id"], offset=1000, num_partitions=parts
+            )
+            .select("event_id", "_id")
+            .collect()
+        ]
+        assert sorted(got) == sorted(expect), parts
+
+
+def test_merge_upsert_semantics(spark):
+    base = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    batch = spark.createDataFrame([(2, "B"), (3, "C")], ["k", "v"])
+    got = {(r["k"], r["v"]) for r in merge_upsert(base, batch, ["k"]).collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "C")}
+
+
+def test_store_snapshots_and_time_travel(spark, tmp_path):
+    store = SnapshotStore(str(tmp_path))
+    df1 = spark.createDataFrame([(1, "x")], ["k", "v"])
+    s1 = store.append("t", df1)
+    s2 = store.append("t", spark.createDataFrame([(2, "y")], ["k", "v"]))
+    assert store.read(spark, "t").count() == 2
+    assert store.read_at(spark, "t", s1).count() == 1  # time travel
+    s3 = store.merge(spark, "t", spark.createDataFrame([(2, "Y"), (3, "z")], ["k", "v"]), ["k"])
+    got = {(r["k"], r["v"]) for r in store.read(spark, "t").collect()}
+    assert got == {(1, "x"), (2, "Y"), (3, "z")}
+    assert store.snapshot_id("t") == s3 == 3
+    # resume-from-checkpoint: a fresh store object sees the committed state
+    store2 = SnapshotStore(str(tmp_path))
+    assert {(r["k"], r["v"]) for r in store2.read(spark, "t").collect()} == got
