@@ -9,6 +9,8 @@ hot path.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -65,6 +67,22 @@ def brute_force_topk(
     )
 
 
+def _hyperplanes(n_tables: int, n_planes: int, dim: int):
+    """Deterministic pseudo-gaussian hyperplanes from sha256 of indices —
+    reproducible across runs with no RNG state (numpy, driver-side, tiny)."""
+    import hashlib as _hl
+
+    import numpy as np
+
+    out = np.empty((n_tables, n_planes, dim), dtype=np.float64)
+    for t in range(n_tables):
+        for p in range(n_planes):
+            h = _hl.sha256(f"lsh:{t}:{p}".encode()).digest()
+            rng = np.random.default_rng(int.from_bytes(h[:8], "big"))
+            out[t, p] = rng.standard_normal(dim)
+    return out
+
+
 def lsh_bucketed_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -77,74 +95,36 @@ def lsh_bucketed_topk(
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane LSH bucketing, exact rerank in
     buckets, best-of-n_tables union. The scale path: corpus shuffles once on
-    (table, bucket); only colliding (query, doc) pairs are scored.
-
-    Hyperplanes are pseudo-random ±1 matrices derived deterministically from
-    hash64 of (table, plane, dim-index) — reproducible across runs/engines
-    with no RNG state.
+    (table, bucket); only colliding (query, doc) pairs are scored. Bucket
+    signs are computed by one vectorized pandas UDF (numpy matmul over the
+    Arrow batch) — a whole table's buckets in one gemm.
     """
     import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, IntegerType
 
-    from german_newspaper_crawler_spark.functions.hashing import hash64 as _h64  # noqa: F401
+    planes = _hyperplanes(n_tables, n_planes, dim)  # (T, P, D)
+    pow2 = (1 << np.arange(n_planes)).astype(np.int64)  # (P,)
 
-    # deterministic ±1 planes via sha256 of indices (driver-side, tiny)
-    import hashlib as _hl
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def buckets_udf(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        m = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])  # (N, D)
+        sims = np.einsum("nd,tpd->ntp", m, planes)  # (N, T, P)
+        codes = ((sims >= 0) @ pow2).astype(np.int32)  # (N, T)
+        return pd.Series(list(codes))
 
-    def sign(t: int, p: int, d: int) -> float:
-        hx = _hl.sha256(f"{t}:{p}:{d}".encode()).digest()
-        return 1.0 if hx[0] & 1 else -1.0
-
-    planes = [
-        [[sign(t, p, d) for d in range(dim)] for p in range(n_planes)]
-        for t in range(n_tables)
-    ]
-
-    def bucket_expr(side_vec: str, t: int) -> F.Column:
-        bits = []
-        for p in range(n_planes):
-            coeffs = planes[t][p]
-            arr = F.array(*[F.lit(c) for c in coeffs])
-            dot = F.expr(
-                f"aggregate(zip_with({side_vec}, __plane, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
-            )
-            bits.append(dot)
-        return bits
-
-    # Build bucket ids per table via a fold: sum(bit_p * 2^p)
-    def with_buckets(df: DataFrame, vec: str, out: str) -> DataFrame:
-        rows = []
-        for ti in range(n_tables):
-            expr_bits = None
-            for p in range(n_planes):
-                coeffs = planes[ti][p]
-                terms = " + ".join(
-                    f"element_at({vec}, {d + 1}) * ({coeffs[d]})" for d in range(dim)
-                )
-                bit = f"(CASE WHEN ({terms}) >= 0 THEN {1 << p} ELSE 0 END)"
-                expr_bits = bit if expr_bits is None else f"{expr_bits} + {bit}"
-            rows.append(F.expr(expr_bits).alias(f"__b{ti}"))
-        df = df.select("*", *rows)
-        buckets = F.array(
-            *[
-                F.struct(F.lit(ti).alias("tbl"), F.col(f"__b{ti}").alias("bkt"))
-                for ti in range(n_tables)
-            ]
-        )
-        return df.select(
-            *[c for c in df.columns if not c.startswith("__b")],
-            F.explode(buckets).alias(out),
+    def with_buckets(df: DataFrame, idname: str, vecname: str) -> DataFrame:
+        d = df.select(
+            F.col(id_col).alias(idname), _as_double(vec_col).alias(vecname)
+        ).withColumn("__bkts", buckets_udf(F.col(vecname)))
+        return d.select(
+            idname, vecname, F.posexplode("__bkts").alias("tbl", "bkt")
         )
 
-    q = with_buckets(
-        queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("vq")),
-        "vq",
-        "qb",
-    ).select("query_id", "vq", F.col("qb.tbl").alias("tbl"), F.col("qb.bkt").alias("bkt"))
-    c = with_buckets(
-        corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("vc")),
-        "vc",
-        "cb",
-    ).select("neighbor_id", "vc", F.col("cb.tbl").alias("tbl"), F.col("cb.bkt").alias("bkt"))
+    q = with_buckets(queries, "query_id", "vq")
+    c = with_buckets(corpus, "neighbor_id", "vc")
 
     cand = (
         q.join(c, ["tbl", "bkt"])

@@ -47,6 +47,12 @@ class CrawlConfig:
     respect_delay: bool = False
     parsed_ts: datetime | None = None  # injected clock (F10 determinism)
     extract_images: bool = True
+    # G1 accelerator: Bloom-prefilter the seen-set checks (exact anti-join
+    # remains the authority). Pays off when the seen set is huge relative to
+    # the per-round batch (the 10^10 regime); off by default at fixture scale.
+    use_bloom: bool = False
+    bloom_buckets: int = 16
+    bloom_fpr: float = 0.01
     pos_tag_cap: int = 50_000  # MAX_POS_TAG_ENTRIES (pos_tagging.py:13)
     pos_tag_skip: int = 200_000  # MAX_POS_TAG_TOKENS (pos_tagging.py:14)
 
@@ -447,9 +453,42 @@ def article_identity(df: DataFrame) -> DataFrame:
     )
 
 
-def skip_known(articles: DataFrame, seen: DataFrame) -> DataFrame:
+def skip_known(
+    articles: DataFrame,
+    seen: DataFrame,
+    blooms: DataFrame | None = None,
+    n_bloom_buckets: int = 16,
+) -> DataFrame:
     """The three-variant known-hash skip (web_requests.py:182-193): drop the
-    row if content_hash OR url_hash OR text-content-hash is known."""
+    row if content_hash OR url_hash OR text-content-hash is known.
+
+    With ``blooms`` (G1 accelerator): rows whose three hash variants are all
+    provably-absent from the per-bucket Bloom filters bypass the exact
+    anti-joins entirely — at 10^10 frontier scale that is the overwhelmingly
+    common fresh-URL path, turning three shuffle anti-joins into a broadcast
+    blob test. Maybe-seen rows fall through to the exact check, so the final
+    set is always exact (the filter accelerates, never decides).
+    """
+    if blooms is not None:
+        from german_newspaper_crawler_spark.functions.hashing import hash64
+        from german_newspaper_crawler_spark.operators.bloom import bloom_prefilter
+
+        flagged = articles.withColumn("__maybe", F.lit(False))
+        for c in ["content_hash", "url_hash", "text_content_hash"]:
+            # bucket is a pure function of the probed digest (blooms are
+            # built the same way: hash-bucketed, uniform by construction)
+            probe = flagged.withColumn("__h", F.coalesce(F.col(c), F.lit("0" * 30)))
+            probed = bloom_prefilter(
+                probe, blooms, "__h",
+                F.pmod(hash64(F.col("__h")), F.lit(n_bloom_buckets)).cast("int"),
+            )
+            flagged = probed.withColumn(
+                "__maybe", F.col("__maybe") | F.col("maybe_seen")
+            ).drop("maybe_seen", "__h")
+        fresh = flagged.where(~F.col("__maybe")).drop("__maybe")
+        maybe = flagged.where(F.col("__maybe")).drop("__maybe")
+        return fresh.unionByName(skip_known(maybe, seen))
+
     seen_h = seen.select(F.col("content_hash").alias("h")).distinct()
     out = articles
     for c in ["content_hash", "url_hash", "text_content_hash"]:
@@ -520,10 +559,28 @@ def run_crawl(
                 )
             ).cache()
             status_parts.append(parsed.select("url", "status"))
+            blooms = None
+            if cfg.use_bloom:
+                from german_newspaper_crawler_spark.functions.hashing import hash64
+                from german_newspaper_crawler_spark.operators.bloom import (
+                    build_bloom, params_for,
+                )
+
+                n_seen = seen.count()
+                if n_seen:
+                    m, k = params_for(n_seen, cfg.bloom_fpr)
+                    blooms = build_bloom(
+                        seen, "content_hash",
+                        F.pmod(hash64("content_hash"), F.lit(cfg.bloom_buckets)).cast("int"),
+                        m, k,
+                    )
             # robots-blocked rows were never fetched → no article row;
             # failures (status 0/4xx/5xx) DO upsert with empty html
             # (web_requests.py:129-150)
-            fresh = skip_known(parsed.where(F.col("status") != -403), seen)
+            fresh = skip_known(
+                parsed.where(F.col("status") != -403), seen,
+                blooms=blooms, n_bloom_buckets=cfg.bloom_buckets,
+            )
             enriched = enrich_pos_tags(fresh, cfg)
             # post-tag re-check (web_requests.py:205-211) — whitespace tagger
             # never mutates content_hash; kept as the same anti-join for parity
@@ -651,6 +708,18 @@ def run_crawl(
         total_articles += n_articles
         total_images += n_images
         batch.unpersist()
+
+    # G7: persist per-round lineage/metrics (per-partition fetch_ms detail
+    # lives in the FETCHED.fetch_ms column; this is the run-level rollup)
+    if metrics:
+        rows = [
+            (
+                m["run_id"], m["round"], m["stage"], None, None,
+                m["n_fetched"], m["n_articles"] + m["n_images"], 0, None,
+            )
+            for m in metrics
+        ]
+        store.append("metrics", spark.createDataFrame(rows, schemas.METRICS))
 
     return {
         "rounds": len(metrics),

@@ -988,3 +988,197 @@ def events_sessionize(spark, sf_dir):
         "user_id",
         F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long").alias("session_id"),
     )
+
+# ---------------------------------------------------------------------------
+# F9/F11/F12/W3/J2 — remaining scalar/window/join rows of SURVEY §2
+# ---------------------------------------------------------------------------
+@register(
+    "f9_iso_date_format",
+    "F9 ISO date format with str() fallback (object_model.py:258-274): "
+    "date_format to the reference's isoformat rendering.",
+    oracle="""
+    SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') AS published_iso
+    FROM orders
+    """,
+)
+def f9_iso_date_format(spark, sf_dir):
+    return t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd'T'HH:mm:ss").alias("published_iso"),
+    )
+
+
+@register(
+    "f11_f12_coerce",
+    "F11 lenient int coerce (_maybe_parse_int, object_model.py:30-40) + F12 "
+    "str coercion (object_model.py:111): try_cast null-on-junk + cast.",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id AS VARCHAR)
+                  WHEN doc_id % 3 = 1 THEN ' ' || CAST(doc_id AS VARCHAR) || ' '
+                  ELSE 'id-' || CAST(doc_id AS VARCHAR) END AS raw
+      FROM documents)
+    SELECT doc_id, raw,
+           TRY_CAST(TRIM(raw) AS BIGINT) AS coerced,
+           CAST(doc_id AS VARCHAR) AS as_str
+    FROM s
+    """,
+)
+def f11_f12_coerce(spark, sf_dir):
+    raw = (
+        F.when(F.col("doc_id") % 3 == 0, F.col("doc_id").cast("string"))
+        .when(F.col("doc_id") % 3 == 1, F.concat(F.lit(" "), F.col("doc_id").cast("string"), F.lit(" ")))
+        .otherwise(F.concat(F.lit("id-"), F.col("doc_id").cast("string")))
+    )
+    return t(spark, sf_dir, "documents").select(
+        "doc_id",
+        raw.alias("raw"),
+        F.trim(raw).try_cast("bigint").alias("coerced"),
+        F.col("doc_id").cast("string").alias("as_str"),
+    )
+
+
+@register(
+    "w3_token_numbering",
+    "W3 per-token numbering within a document (pos_tagging.py:139-154): "
+    "posexplode index == the tid the whitespace tagger assigns.",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(TRIM(text), '\\s+') AS tk
+      FROM documents WHERE doc_id < 50 AND TRIM(text) <> ''),
+    pos AS (SELECT doc_id, tk, unnest(generate_series(1, len(tk))) AS i FROM toks)
+    SELECT doc_id, CAST(i - 1 AS BIGINT) AS tid, tk[i] AS token FROM pos
+    """,
+)
+def w3_token_numbering(spark, sf_dir):
+    df = (
+        t(spark, sf_dir, "documents")
+        .where((F.col("doc_id") < 50) & (F.trim("text") != ""))
+        .select("doc_id", F.split(F.trim("text"), r"\s+").alias("tk"))
+    )
+    return df.select(
+        "doc_id", F.posexplode("tk").alias("tid_i", "token")
+    ).select("doc_id", F.col("tid_i").cast("long").alias("tid"), "token")
+
+
+@register(
+    "j2_config_lookup_join",
+    "J2 config lookup join (web_requests.py:33-65 collection resolution): "
+    "broadcast join of a small dimension — region broadcast into nation.",
+    oracle="""
+    SELECT n.n_nationkey, n.n_name, r.r_name
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+)
+def j2_config_lookup_join(spark, sf_dir):
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region")
+    return nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name", "r_name")
+
+# ---------------------------------------------------------------------------
+# Non-SQL-expressible operators — rows-only checks (oracle=None): the driver
+# records row-count + schema; semantics are covered by the pytest suite
+# (reference-simulator parity, bloom invariants, PSNR/caption invariants).
+# ---------------------------------------------------------------------------
+@register(
+    "crawl_fixture_e2e",
+    "Full crawl pipeline (SURVEY §3.1) over the deterministic fixtures with "
+    "the injected fetcher: frontier → fetch → parse → dedup → merge rounds; "
+    "returns the final articles table. Exact-order/field parity vs the "
+    "reference simulator is asserted in tests/test_crawl_parity.py.",
+    oracle=None,
+)
+def crawl_fixture_e2e(spark, sf_dir):
+    import tempfile
+    from datetime import datetime
+
+    from german_newspaper_crawler_spark.fixtures import make_fixtures
+    from german_newspaper_crawler_spark.plans.crawl import CrawlConfig, run_crawl
+    from german_newspaper_crawler_spark.sources.fetch import table_fetcher
+    from german_newspaper_crawler_spark.sources.store import SnapshotStore
+
+    seeds, pages, blobs, _ = make_fixtures(n_hosts=2, articles_per_host=6)
+    store = SnapshotStore(tempfile.mkdtemp(prefix="gncs-q-"))
+    seeds_df = spark.createDataFrame(
+        [(s["domain"], s["base_url"], s["host"], s["collection"]) for s in seeds],
+        ["domain", "base_url", "host", "collection"],
+    )
+    run_crawl(
+        spark, store, seeds_df, table_fetcher(pages, blobs),
+        cfg=CrawlConfig(n_buckets=8, max_rounds=4, parsed_ts=datetime(2026, 1, 2)),
+    )
+    return store.read(spark, "articles").select(
+        "_id", "url", "teaser", "autor", "category", "content_hash", "domain"
+    )
+
+
+@register(
+    "g1_bloom_prefilter",
+    "G1 Bloom URL-seen prefilter (graft): per-bucket mergeable numpy blobs; "
+    "returns the candidate split. Invariants (zero false negatives, FPR, "
+    "merge=union) asserted in tests/test_bloom.py.",
+    oracle=None,
+)
+def g1_bloom_prefilter(spark, sf_dir):
+    from german_newspaper_crawler_spark.operators import bloom
+
+    orders = t(spark, sf_dir, "orders")
+    url = F.concat(F.lit("https://ex.com/order/"), F.col("o_orderkey").cast("string"))
+    cand = orders.select("o_orderkey", F.sha2(url, 256).alias("h"))
+    seen = cand.where(F.col("o_orderkey") % 3 == 0)
+    m, k = bloom.params_for(10_000, 0.01)
+    bucket = F.pmod(hash64("h"), F.lit(8)).cast("int")
+    blooms = bloom.build_bloom(seen, "h", bucket, m, k)
+    return bloom.bloom_prefilter(cand, blooms, "h", bucket).select(
+        "o_orderkey", "maybe_seen"
+    )
+
+
+@register(
+    "ann_lsh_topk",
+    "ANN scale path: random-hyperplane LSH bucketing + exact rerank within "
+    "buckets (approximate — no SQL oracle; recall vs the brute-force oracle "
+    "is asserted in tests/test_similarity.py).",
+    oracle=None,
+)
+def ann_lsh_topk(spark, sf_dir):
+    from german_newspaper_crawler_spark.operators.similarity import lsh_bucketed_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return lsh_bucketed_topk(queries, emb, id_col="vec_id", vec_col="embedding", k=10)
+
+
+@register(
+    "g5_image_decode_phash",
+    "G5/G6 image decode + pHash over binary image rows (in-repo PNG codec + "
+    "numpy DCT pHash inside mapInPandas). PSNR/caption/dup invariants in "
+    "tests/test_codec_phash.py and tests/test_crawl_parity.py.",
+    oracle=None,
+)
+def g5_image_decode_phash(spark, sf_dir):
+    from german_newspaper_crawler_spark.fixtures import make_image
+    from german_newspaper_crawler_spark.functions.codec import encode_image
+    from german_newspaper_crawler_spark.plans.crawl import fetch_images_stage
+    from german_newspaper_crawler_spark.operators.frontier import bucket_of
+
+    def img_fetcher(url):
+        i = int(url.rsplit("-", 1)[-1].split(".")[0])
+        return 200, "", encode_image(make_image(i, size=32), "png" if i % 2 == 0 else "jpeg")
+
+    ids = spark.range(64)
+    batch = ids.select(
+        F.concat(F.lit("https://img.example/i-"), F.col("id").cast("string"), F.lit(".png")).alias("url"),
+        F.lit("img.example").alias("host"),
+        F.lit(0).alias("priority"), F.col("id").alias("seq"),
+        F.lit("image").alias("kind"), F.lit("d0").alias("domain"),
+        F.lit("https://img.example/").alias("base_url"),
+        F.concat(F.lit("Bild "), F.col("id").cast("string")).alias("anchor_text"),
+    ).withColumn("bucket", bucket_of(F.col("host"), 8))
+    out = fetch_images_stage(batch, img_fetcher)
+    return out.where(F.col("bytes").isNotNull()).select(
+        "image_id", "w", "h", "fmt", "caption", "phash"
+    )

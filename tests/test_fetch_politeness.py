@@ -1,0 +1,102 @@
+"""Fetch-stage politeness (G3) + robots (G2) + bloom-accelerated skip parity."""
+
+from __future__ import annotations
+
+import time
+from datetime import datetime
+
+import pandas as pd
+import pytest
+
+from german_newspaper_crawler_spark.sources.fetch import fetch_pandas_batch
+
+
+def _batch(urls_hosts):
+    return pd.DataFrame(
+        {
+            "url": [u for u, h in urls_hosts],
+            "host": [h for u, h in urls_hosts],
+            "priority": [0] * len(urls_hosts),
+            "seq": list(range(len(urls_hosts))),
+        }
+    )
+
+
+def test_crawl_delay_enforced_per_host():
+    """Consecutive fetches to the same host are >= crawl_delay apart; other
+    hosts are not delayed (reference analog: strictly sequential loop = one
+    in-flight request, web_requests.py:127)."""
+    stamps: dict[str, list[float]] = {}
+
+    def fetcher(url):
+        stamps.setdefault(url.split("/")[2], []).append(time.monotonic())
+        return 200, "<p>x</p>", None
+
+    pdf = _batch(
+        [(f"https://slow.example/a{i}", "slow.example") for i in range(3)]
+        + [(f"https://fast.example/b{i}", "fast.example") for i in range(3)]
+    )
+    robots = {"slow.example": ([], 120), "fast.example": ([], 0)}
+    t0 = time.monotonic()
+    out = fetch_pandas_batch(pdf, fetcher, robots, respect_delay=True, last_fetch={})
+    assert (out["status"] == 200).all()
+    slow = stamps["slow.example"]
+    gaps = [b - a for a, b in zip(slow, slow[1:])]
+    assert all(g >= 0.115 for g in gaps), gaps
+    fast = stamps["fast.example"]
+    assert max(fast) - min(fast) < 0.1  # no delay for the zero-delay host
+
+
+def test_robots_disallow_blocks_without_fetch():
+    calls = []
+
+    def fetcher(url):
+        calls.append(url)
+        return 200, "ok", None
+
+    pdf = _batch(
+        [("https://h.example/intern/secret", "h.example"),
+         ("https://h.example/public/a", "h.example")]
+    )
+    out = fetch_pandas_batch(
+        pdf, fetcher, {"h.example": (["/intern/"], 0)}, respect_delay=False, last_fetch={}
+    ).set_index("url")
+    assert out.loc["https://h.example/intern/secret", "status"] == -403
+    assert out.loc["https://h.example/public/a", "status"] == 200
+    assert calls == ["https://h.example/public/a"]  # blocked row never fetched
+
+
+def test_crawl_with_bloom_matches_exact(spark, tmp_path):
+    """G1: bloom-accelerated seen-skip produces the identical article set as
+    the exact-only path (filter accelerates, never decides)."""
+    import hashlib
+
+    from german_newspaper_crawler_spark import schemas
+    from german_newspaper_crawler_spark.fixtures import make_fixtures
+    from german_newspaper_crawler_spark.plans.crawl import CrawlConfig, run_crawl
+    from german_newspaper_crawler_spark.sources.fetch import table_fetcher
+    from german_newspaper_crawler_spark.sources.store import SnapshotStore
+
+    seeds, pages, blobs, truth = make_fixtures(n_hosts=1, articles_per_host=6)
+    seeds_df = spark.createDataFrame(
+        [(s["domain"], s["base_url"], s["host"], s["collection"]) for s in seeds],
+        ["domain", "base_url", "host", "collection"],
+    )
+    pre = [(hashlib.sha256(f"https://{seeds[0]['host']}/artikel/a1".encode()).hexdigest(),
+            "pre", datetime(2025, 1, 1))]
+
+    results = {}
+    for use_bloom in (False, True):
+        store = SnapshotStore(str(tmp_path / f"s{use_bloom}"))
+        store.append("seen", spark.createDataFrame(pre, schemas.SEEN))
+        cfg = CrawlConfig(
+            n_buckets=8, max_rounds=3, parsed_ts=datetime(2026, 1, 2),
+            extract_images=False, use_bloom=use_bloom,
+        )
+        run_crawl(spark, store, seeds_df, table_fetcher(pages, blobs), cfg=cfg)
+        results[use_bloom] = {
+            (r["url"], r["content_hash"])
+            for r in store.read(spark, "articles").select("url", "content_hash").collect()
+        }
+    assert results[True] == results[False]
+    assert len(results[True]) > 0
