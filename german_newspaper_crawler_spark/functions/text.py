@@ -104,3 +104,41 @@ def quality_score(col) -> Column:
     punct_ok = F.when(punct_ratio(col) <= 0.2, F.lit(1.0)).otherwise(F.lit(0.0))
     stop_ok = F.when(stopword_ratio(col) >= 0.05, F.lit(1.0)).otherwise(F.lit(0.0))
     return (len_ok + punct_ok + stop_ok) / F.lit(3.0)
+
+
+def chunk_text_by_paragraphs(text: str, max_len: int) -> list[str]:
+    """O3 — greedy paragraph packing into <= max_len chunks; over-long
+    paragraphs sliced (reference _chunk_text_by_paragraphs,
+    pos_tagging.py:49-81, reproduced branch-for-branch). Pure-python helper
+    for enrichment UDFs that feed models with bounded inputs (R5 bounded-
+    memory pipelining); not a relational op."""
+    import re as _re
+
+    if not text:
+        return []
+    paras = _re.split(r"\n{2,}", text)
+    chunks: list[str] = []
+    current = ""
+    for p in paras:
+        p = p.strip()
+        if not p:
+            continue
+        if len(p) > max_len:
+            if current:
+                chunks.append(current)
+                current = ""
+            for i in range(0, len(p), max_len):
+                part = p[i : i + max_len]
+                if part:
+                    chunks.append(part)
+            continue
+        if not current:
+            current = p
+        elif len(current) + 2 + len(p) <= max_len:
+            current = current + "\n\n" + p
+        else:
+            chunks.append(current)
+            current = p
+    if current:
+        chunks.append(current)
+    return chunks

@@ -47,6 +47,9 @@ class CrawlConfig:
     respect_delay: bool = False
     parsed_ts: datetime | None = None  # injected clock (F10 determinism)
     extract_images: bool = True
+    # per-partition cross-host fetch concurrency (reference library path
+    # max_workers=8, parallel_fetcher.py:45); politeness stays per-host
+    fetch_concurrency: int = 1
     # G1 accelerator: Bloom-prefilter the seen-set checks (exact anti-join
     # remains the authority). Pays off when the seen set is huge relative to
     # the per-round batch (the 10^10 regime); off by default at fixture scale.
@@ -173,6 +176,7 @@ def fetch_parse_articles_stage(
     robots: dict | None = None,
     respect_delay: bool = False,
     n_partitions: int | None = None,
+    concurrency: int = 1,
 ) -> DataFrame:
     """Fused fetch+parse for article rows — ONE mapInPandas, so the html
     payload crosses the Arrow boundary once (JVM sends ~100-byte url rows in,
@@ -193,7 +197,7 @@ def fetch_parse_articles_stage(
         import hashlib
         import zlib
 
-        from german_newspaper_crawler_spark.parse.html import parse_article
+        from german_newspaper_crawler_spark.parse.registry import parse_with_registry
 
         def sha(s: str) -> str:
             return hashlib.sha256(s.encode("utf-8")).hexdigest()
@@ -202,13 +206,13 @@ def fetch_parse_articles_stage(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            f = fetch_pandas_batch(pdf, fetcher, robots, respect_delay, last_fetch)
+            f = fetch_pandas_batch(pdf, fetcher, robots, respect_delay, last_fetch, concurrency)
             rows = []
             for r in f.itertuples(index=False):
                 # robots-blocked rows stay (for frontier bookkeeping) with an
                 # empty parse; downstream filters status != -403 before upsert
                 html = r.html or ""
-                d = parse_article(r.url, html)
+                d = parse_with_registry(r.domain, r.url, html)
                 text = d["text"] or ""
                 # identity per §1.4 (object_model.py:195-214 +
                 # web_requests.py:159-175), python-side so raw html never
@@ -240,6 +244,7 @@ def fetch_parse_listings_stage(
     robots: dict | None = None,
     respect_delay: bool = False,
     n_partitions: int | None = None,
+    concurrency: int = 1,
 ) -> DataFrame:
     """Fused fetch + anchor-ladder extraction for listing rows (the P3
     flatmap): listing html never leaves the Python worker."""
@@ -258,7 +263,7 @@ def fetch_parse_listings_stage(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            f = fetch_pandas_batch(pdf, fetcher, robots, respect_delay, last_fetch)
+            f = fetch_pandas_batch(pdf, fetcher, robots, respect_delay, last_fetch, concurrency)
             rows = []
             for r in f.itertuples(index=False):
                 # per-page status marker (sel_rank=-1) for frontier bookkeeping
@@ -287,6 +292,7 @@ def fetch_images_stage(
     robots: dict | None = None,
     respect_delay: bool = False,
     n_partitions: int | None = None,
+    concurrency: int = 1,
 ) -> DataFrame:
     """Fused fetch + decode + pHash for image rows (G5/G6): image bytes cross
     the Arrow boundary once. Undecodable/blocked/failed rows keep their
@@ -307,7 +313,7 @@ def fetch_images_stage(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            f = fetch_pandas_batch(pdf, fetcher, robots, respect_delay, last_fetch)
+            f = fetch_pandas_batch(pdf, fetcher, robots, respect_delay, last_fetch, concurrency)
             rows = []
             for r in f.itertuples(index=False):
                 rgb = None
@@ -539,7 +545,8 @@ def run_crawl(
         listings = batch.where(F.col("kind") == "listing")
         if not listings.isEmpty():
             anchors = fetch_parse_listings_stage(
-                listings, fetcher, robots=robots, respect_delay=cfg.respect_delay
+                listings, fetcher, robots=robots, respect_delay=cfg.respect_delay,
+                concurrency=cfg.fetch_concurrency,
             ).cache()
             status_parts.append(
                 anchors.where(F.col("sel_rank") == -1).select("page_url", "status")
@@ -555,7 +562,8 @@ def run_crawl(
         if not art_batch.isEmpty():
             parsed = article_identity(
                 fetch_parse_articles_stage(
-                    art_batch, fetcher, robots=robots, respect_delay=cfg.respect_delay
+                    art_batch, fetcher, robots=robots, respect_delay=cfg.respect_delay,
+                    concurrency=cfg.fetch_concurrency,
                 )
             ).cache()
             status_parts.append(parsed.select("url", "status"))
@@ -649,7 +657,8 @@ def run_crawl(
         img_batch = batch.where(F.col("kind") == "image")
         if not img_batch.isEmpty():
             img_out = fetch_images_stage(
-                img_batch, fetcher, robots=robots, respect_delay=cfg.respect_delay
+                img_batch, fetcher, robots=robots, respect_delay=cfg.respect_delay,
+                concurrency=cfg.fetch_concurrency,
             ).cache()
             status_parts.append(img_out.select("url", "status"))
             imgs = img_out.where(F.col("bytes").isNotNull()).select(

@@ -1182,3 +1182,82 @@ def g5_image_decode_phash(spark, sf_dir):
     return out.where(F.col("bytes").isNotNull()).select(
         "image_id", "w", "h", "fmt", "caption", "phash"
     )
+
+@register(
+    "dedup_components_keepers",
+    "Near-dup clustering: n-gram-Jaccard pair edges → connected components "
+    "(iterative min-label propagation, operators/components.py) → one keeper "
+    "per cluster (min doc_id, the reference's min-_id convention). Oracle: "
+    "recursive-CTE transitive closure.",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLE_SQL},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS c
+      FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    edges AS (
+      SELECT a, b FROM common
+      JOIN sizes sa ON sa.doc_id = common.a JOIN sizes sb ON sb.doc_id = common.b
+      WHERE ROUND(c * 1.0 / (sa.n + sb.n - c), 6) >= 0.5),
+    sym AS (SELECT a AS src, b AS dst FROM edges UNION SELECT b, a FROM edges),
+    reach(src, dst) AS (
+      SELECT src, dst FROM sym
+      UNION
+      SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+    comp AS (
+      SELECT src AS id, LEAST(src, MIN(dst)) AS component FROM reach GROUP BY src)
+    SELECT d.doc_id,
+           CAST(COALESCE(comp.component, d.doc_id) AS BIGINT) AS component,
+           (d.doc_id = COALESCE(comp.component, d.doc_id)) AS is_keeper
+    FROM documents d LEFT JOIN comp ON d.doc_id = comp.id
+    """,
+)
+def dedup_components_keepers(spark, sf_dir):
+    from german_newspaper_crawler_spark.operators.components import dedup_keepers
+    from german_newspaper_crawler_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = t(spark, sf_dir, "documents")
+    edges = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    return dedup_keepers(docs.select("doc_id"), "doc_id", edges).select(
+        "doc_id", F.col("component").cast("long").alias("component"), "is_keeper"
+    )
+
+@register(
+    "f5x_canonicalize_url",
+    "Graft F5 extension — full URL canonicalization (lowercase scheme/host, "
+    "strip default port / fragment / tracking params) via the vectorized "
+    "Arrow UDF; oracle reproduces the rules for the fixture URL shapes.",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0
+               THEN 'HTTPS://EX' || CAST(doc_id % 50 AS VARCHAR) || '.COM:443/art/'
+                    || CAST(doc_id AS VARCHAR) || '?utm_source=t&keep='
+                    || CAST(doc_id AS VARCHAR) || '#frag'
+               ELSE 'http://ex' || CAST(doc_id % 50 AS VARCHAR) || '.com:80/x?fbclid='
+                    || CAST(doc_id AS VARCHAR) END AS raw
+      FROM documents)
+    SELECT doc_id, raw,
+           CASE WHEN doc_id % 2 = 0
+             THEN 'https://ex' || CAST(doc_id % 50 AS VARCHAR) || '.com/art/'
+                  || CAST(doc_id AS VARCHAR) || '?keep=' || CAST(doc_id AS VARCHAR)
+             ELSE 'http://ex' || CAST(doc_id % 50 AS VARCHAR) || '.com/x' END AS canonical
+    FROM u
+    """,
+)
+def f5x_canonicalize_url(spark, sf_dir):
+    from german_newspaper_crawler_spark.functions.urls import canonicalize_udf
+
+    k = (F.col("doc_id") % 50).cast("string")
+    i = F.col("doc_id").cast("string")
+    raw = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.lit("HTTPS://EX"), k, F.lit(".COM:443/art/"), i,
+                 F.lit("?utm_source=t&keep="), i, F.lit("#frag")),
+    ).otherwise(
+        F.concat(F.lit("http://ex"), k, F.lit(".com:80/x?fbclid="), i)
+    )
+    return t(spark, sf_dir, "documents").select(
+        "doc_id", raw.alias("raw"), canonicalize_udf(raw).alias("canonical")
+    )

@@ -74,27 +74,22 @@ def _path_of(url: str) -> str:
     return url[i:] if i >= 0 else "/"
 
 
-def fetch_pandas_batch(
-    pdf: pd.DataFrame,
+def _fetch_host_rows(
+    urls: list[str],
+    host: str,
     fetcher: Fetcher,
     robots: dict[str, tuple[list[str], int]],
     respect_delay: bool,
     last_fetch: dict[str, float],
-) -> pd.DataFrame:
-    """Fetch one Arrow batch (sorted per host by the explicit order key) with
-    robots + politeness enforcement. ``last_fetch`` is the caller's
-    partition-local politeness state. Returns pdf + status/html/content/
-    fetch_ms columns."""
-    pdf = pdf.sort_values(["host", "priority", "seq"], kind="mergesort")
-    statuses, htmls, contents, times = [], [], [], []
-    for url, host in zip(pdf["url"], pdf["host"]):
-        dis, delay_ms = robots.get(host, ([], 0))
+) -> list[tuple[int, str, bytes | None, int]]:
+    """Strictly sequential fetch of one host's urls (the reference's per-URL
+    loop, web_requests.py:127) with robots + crawl-delay enforcement."""
+    out = []
+    dis, delay_ms = robots.get(host, ([], 0))
+    for url in urls:
         path = _path_of(url)
         if any(path.startswith(p) for p in dis):
-            statuses.append(-403)  # robots-blocked, never fetched
-            htmls.append("")
-            contents.append(None)
-            times.append(0)
+            out.append((-403, "", None, 0))  # robots-blocked, never fetched
             continue
         if respect_delay and delay_ms:
             wait = last_fetch.get(host, 0) + delay_ms / 1000.0 - time.monotonic()
@@ -106,15 +101,70 @@ def fetch_pandas_batch(
         except Exception:
             status, html, content = 0, "", None  # web_requests.py:129-133
         last_fetch[host] = time.monotonic()
-        statuses.append(status)
-        htmls.append(html if status == 200 else "")
-        contents.append(content if status == 200 else None)
-        times.append(int((time.monotonic() - t0) * 1000))
+        out.append(
+            (
+                status,
+                html if status == 200 else "",
+                content if status == 200 else None,
+                int((time.monotonic() - t0) * 1000),
+            )
+        )
+    return out
+
+
+def fetch_pandas_batch(
+    pdf: pd.DataFrame,
+    fetcher: Fetcher,
+    robots: dict[str, tuple[list[str], int]],
+    respect_delay: bool,
+    last_fetch: dict[str, float],
+    concurrency: int = 1,
+) -> pd.DataFrame:
+    """Fetch one Arrow batch (sorted per host by the explicit order key) with
+    robots + politeness enforcement. ``last_fetch`` is the caller's
+    partition-local politeness state. Returns pdf + status/html/content/
+    fetch_ms columns.
+
+    ``concurrency`` > 1 fans hosts out over a thread pool (the reference's
+    library path, parallel_fetcher.py:42-85 with max_workers=8) — each host
+    stays strictly sequential, so politeness holds; results are reassembled
+    by position, so output order never depends on completion order (the
+    reference's completion-order caveat, parallel_fetcher.py:111, is
+    deliberately NOT reproduced: order is carried as data here).
+    """
+    pdf = pdf.sort_values(["host", "priority", "seq"], kind="mergesort")
+    host_groups: dict[str, list[int]] = {}
+    urls = list(pdf["url"])
+    for i, host in enumerate(pdf["host"]):
+        host_groups.setdefault(host, []).append(i)
+
+    results: list[tuple[int, str, bytes | None, int] | None] = [None] * len(pdf)
+    if concurrency > 1 and len(host_groups) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        def run_host(host_idx):
+            host, idxs = host_idx
+            return idxs, _fetch_host_rows(
+                [urls[i] for i in idxs], host, fetcher, robots, respect_delay, last_fetch
+            )
+
+        with ThreadPoolExecutor(max_workers=concurrency) as pool:
+            for idxs, rows in pool.map(run_host, host_groups.items()):
+                for i, row in zip(idxs, rows):
+                    results[i] = row
+    else:
+        for host, idxs in host_groups.items():
+            rows = _fetch_host_rows(
+                [urls[i] for i in idxs], host, fetcher, robots, respect_delay, last_fetch
+            )
+            for i, row in zip(idxs, rows):
+                results[i] = row
+
     out = pdf.copy()
-    out["status"] = pd.Series(statuses, index=pdf.index, dtype="int32")
-    out["html"] = pd.Series(htmls, index=pdf.index, dtype=object)
-    out["content"] = pd.Series(contents, index=pdf.index, dtype=object)
-    out["fetch_ms"] = pd.Series(times, index=pdf.index, dtype="int64")
+    out["status"] = pd.Series([r[0] for r in results], index=pdf.index, dtype="int32")
+    out["html"] = pd.Series([r[1] for r in results], index=pdf.index, dtype=object)
+    out["content"] = pd.Series([r[2] for r in results], index=pdf.index, dtype=object)
+    out["fetch_ms"] = pd.Series([r[3] for r in results], index=pdf.index, dtype="int64")
     return out
 
 
