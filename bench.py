@@ -199,7 +199,7 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
 
     if args.crawl_stage:
-        res = crawl_stage_bench(spark, args.n_urls, n_partitions=4 * cpus)
+        res = crawl_stage_bench(spark, args.n_urls, n_partitions=max(256, 4 * cpus))
         print(json.dumps({"mode": "crawl-stage", "cpus": cpus, **res}))
         spark.stop()
         return
@@ -218,7 +218,7 @@ def main():
         total += dt
 
     t0 = time.monotonic()
-    crawl = crawl_stage_bench(spark, args.n_urls, n_partitions=4 * cpus)
+    crawl = crawl_stage_bench(spark, args.n_urls, n_partitions=max(256, 4 * cpus))
     times["crawl_stage"] = round(time.monotonic() - t0, 3)
     total += times["crawl_stage"]
 
