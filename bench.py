@@ -183,7 +183,7 @@ def crawl_stage_bench(spark, n_urls: int, n_partitions: int) -> dict:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--crawl-stage", action="store_true")
-    ap.add_argument("--n-urls", type=int, default=12_000)
+    ap.add_argument("--n-urls", type=int, default=64_000)
     ap.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args()
 
