@@ -50,6 +50,10 @@ class CrawlConfig:
     # per-partition cross-host fetch concurrency (reference library path
     # max_workers=8, parallel_fetcher.py:45); politeness stays per-host
     fetch_concurrency: int = 1
+    # G2: maintain the robots table (TTL cache) per round instead of a
+    # caller-provided dict; robots.txt fetched through the same fetcher
+    use_robots_table: bool = False
+    robots_ttl_hours: int = 24
     # G1 accelerator: Bloom-prefilter the seen-set checks (exact anti-join
     # remains the authority). Pays off when the seen set is huge relative to
     # the per-round batch (the 10^10 regime); off by default at fixture scale.
@@ -537,6 +541,17 @@ def run_crawl(
             break
         seen = store.read(spark, "seen", schemas.SEEN)
 
+        round_robots = robots
+        if cfg.use_robots_table:
+            from german_newspaper_crawler_spark.operators.robots import refresh_robots
+
+            hosts = [r["host"] for r in batch.select("host").distinct().collect()]
+            round_robots = refresh_robots(
+                spark, store, hosts, fetcher,
+                now=cfg.parsed_ts or datetime.utcnow(),
+                ttl_hours=cfg.robots_ttl_hours,
+            )
+
         new_frontier: list[DataFrame] = []
         status_parts: list[DataFrame] = []  # (url, status) for state updates
         n_articles = n_images = 0
@@ -545,7 +560,7 @@ def run_crawl(
         listings = batch.where(F.col("kind") == "listing")
         if not listings.isEmpty():
             anchors = fetch_parse_listings_stage(
-                listings, fetcher, robots=robots, respect_delay=cfg.respect_delay,
+                listings, fetcher, robots=round_robots, respect_delay=cfg.respect_delay,
                 concurrency=cfg.fetch_concurrency,
             ).cache()
             status_parts.append(
@@ -562,7 +577,7 @@ def run_crawl(
         if not art_batch.isEmpty():
             parsed = article_identity(
                 fetch_parse_articles_stage(
-                    art_batch, fetcher, robots=robots, respect_delay=cfg.respect_delay,
+                    art_batch, fetcher, robots=round_robots, respect_delay=cfg.respect_delay,
                     concurrency=cfg.fetch_concurrency,
                 )
             ).cache()
@@ -657,7 +672,7 @@ def run_crawl(
         img_batch = batch.where(F.col("kind") == "image")
         if not img_batch.isEmpty():
             img_out = fetch_images_stage(
-                img_batch, fetcher, robots=robots, respect_delay=cfg.respect_delay,
+                img_batch, fetcher, robots=round_robots, respect_delay=cfg.respect_delay,
                 concurrency=cfg.fetch_concurrency,
             ).cache()
             status_parts.append(img_out.select("url", "status"))
