@@ -16,6 +16,12 @@ manifest-swap commit:
 Appends add a snapshot dir to the live set; overwrites replace the live set;
 ``merge`` rewrites the live set with MERGE semantics via
 :func:`operators.merge.merge_upsert`.
+
+Consistency note: commits are atomic PER TABLE (like Iceberg without a
+multi-table transaction). The crawl loop orders its writes so a crash
+between tables is safe: articles MERGE first (idempotent on content_hash),
+then seen append — a crash in between re-crawls at most one batch on resume
+and the MERGE re-converges; it can never lose rows or produce duplicates.
 """
 
 from __future__ import annotations
@@ -109,6 +115,38 @@ class SnapshotStore:
         else:
             merged = batch
         return self.overwrite(table, merged, op="merge")
+
+    def compact(self, spark: SparkSession, table: str) -> int:
+        """Compact the live set into one snapshot (Iceberg rewrite_data_files
+        analog — G7 compaction cadence; frequent crawl rounds otherwise
+        accumulate many small appends and metadata pressure)."""
+        if not self.exists(table):
+            return self.snapshot_id(table)
+        return self.overwrite(table, self.read(spark, table), op="compact")
+
+    def expire_snapshots(self, table: str, keep_last: int = 3) -> int:
+        """Drop unreferenced snapshot dirs older than the last ``keep_last``
+        manifest entries (Iceberg expire_snapshots analog). Time travel stays
+        available for the kept window. Returns dirs removed."""
+        import shutil
+
+        m = self._read_manifest(table)
+        keep_dirs = set(m["live"])
+        for s in m["snapshots"][-keep_last:]:
+            keep_dirs.update(s["live"])
+        removed = 0
+        kept_meta = []
+        for s in m["snapshots"]:
+            if s["dir"] in keep_dirs or s in m["snapshots"][-keep_last:]:
+                kept_meta.append(s)
+            else:
+                path = os.path.join(self._tdir(table), s["dir"])
+                if os.path.exists(path):
+                    shutil.rmtree(path)
+                    removed += 1
+        m["snapshots"] = kept_meta
+        self._commit(table, m)
+        return removed
 
     def read_at(self, spark: SparkSession, table: str, snapshot_id: int) -> DataFrame:
         """Time travel: read the table as of a committed snapshot id."""
