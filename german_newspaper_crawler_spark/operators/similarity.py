@@ -139,3 +139,84 @@ def lsh_bucketed_topk(
         .where(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "cos_sim", F.col("rk").cast("long").alias("rk"))
     )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    kmeans_iters: int = 3,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the other classic ANN scale
+    path next to LSH: partition the corpus into ``n_lists`` Voronoi cells
+    around centroids, probe only the ``n_probe`` nearest cells per query,
+    exact-rerank inside.
+
+    Centroids come from a deterministic mini-kmeans on the driver over a
+    hash-selected sample (no RNG state): seeds = rows with the smallest
+    sha256(vec_id), then ``kmeans_iters`` Lloyd steps on the sample. The
+    expensive parts — cell assignment of the corpus and per-cell scoring —
+    are one numpy-matmul pandas UDF and one shuffle on (cell) each, so the
+    plan is corpus-linear, never O(corpus × queries).
+    """
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    from german_newspaper_crawler_spark.functions.hashing import hash64
+
+    # --- driver-side: deterministic centroids from a bounded sample --------
+    sample_n = max(20 * n_lists, 256)
+    sample = (
+        corpus.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
+        .withColumn("__h", hash64(F.col("id").cast("string")))
+        .orderBy("__h")
+        .limit(sample_n)
+        .collect()
+    )
+    X = np.asarray([r["v"] for r in sample], dtype=np.float64)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    cents = Xn[:n_lists].copy()
+    for _ in range(kmeans_iters):
+        sims = Xn @ cents.T
+        assign = sims.argmax(axis=1)
+        for c in range(n_lists):
+            members = Xn[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cents[c] = m / max(np.linalg.norm(m), 1e-12)
+    centroids = cents  # (n_lists, dim), unit norm
+
+    @F.pandas_udf(IntegerType())
+    def cell_of(vecs: pd.Series) -> pd.Series:
+        m = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        return pd.Series((m @ centroids.T).argmax(axis=1).astype("int32"))
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def probe_cells(vecs: pd.Series) -> pd.Series:
+        m = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        order = np.argsort(-(m @ centroids.T), axis=1)[:, :n_probe].astype("int32")
+        return pd.Series(list(order))
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("vc")
+    ).withColumn("cell", cell_of(F.col("vc")))
+    q = (
+        queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("vq"))
+        .withColumn("cell", F.explode(probe_cells(F.col("vq"))))
+    )
+    scored = (
+        q.join(c, "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", _cosine("vq", "vc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", F.col("rk").cast("long").alias("rk"))
+    )

@@ -1261,3 +1261,20 @@ def f5x_canonicalize_url(spark, sf_dir):
     return t(spark, sf_dir, "documents").select(
         "doc_id", raw.alias("raw"), canonicalize_udf(raw).alias("canonical")
     )
+
+
+@register(
+    "ann_ivf_topk",
+    "ANN IVF scale path: deterministic mini-kmeans centroids, corpus "
+    "partitioned into Voronoi cells, n_probe nearest cells per query, exact "
+    "rerank inside (approximate — recall vs brute force asserted in "
+    "tests/test_similarity.py).",
+    oracle=None,
+)
+def ann_ivf_topk(spark, sf_dir):
+    from german_newspaper_crawler_spark.operators.similarity import ivf_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return ivf_topk(queries, emb, id_col="vec_id", vec_col="embedding", k=10,
+                    n_lists=8, n_probe=4)

@@ -32,3 +32,23 @@ def test_lsh_topk_recall_vs_bruteforce(spark):
     aj = approx.select("query_id", "neighbor_id", F.col("cos_sim").alias("c2"))
     diff = ej.join(aj, ["query_id", "neighbor_id"]).where(F.col("c1") != F.col("c2"))
     assert diff.count() == 0
+
+
+def test_ivf_topk_recall_vs_bruteforce(spark):
+    from german_newspaper_crawler_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = brute_force_topk(queries, emb, "vec_id", "embedding", k=10)
+    approx = ivf_topk(queries, emb, "vec_id", "embedding", k=10, n_lists=8, n_probe=4)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    # probing half the cells on near-random vectors: recall well above the
+    # n_probe/n_lists=0.5 chance floor
+    assert recall >= 0.6, recall
+    # deterministic across invocations (no RNG state anywhere)
+    a2 = {(r["query_id"], r["neighbor_id"])
+          for r in ivf_topk(queries, emb, "vec_id", "embedding", k=10,
+                            n_lists=8, n_probe=4).collect()}
+    assert a == a2
