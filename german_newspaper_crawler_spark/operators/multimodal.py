@@ -1,0 +1,215 @@
+"""Multimodal binary-column operators (training-data pipeline mandate).
+
+Image/audio/video payloads are opaque ``binary`` columns with typed
+metadata; the transforms run as Arrow-batched ``mapInPandas``. The container
+has no media libraries, so:
+
+* **image** decode/resize are REAL (in-repo numpy+zlib PNG codec + area
+  resize — the same code the crawl uses),
+* **audio feature-extract** and **video frame-sample** have REAL Spark
+  plumbing (schemas, batch shapes, partitioning) with the codec boundary
+  stubbed: a deterministic fake decoder handles the in-repo fixture formats
+  and any real format raises ``NotImplementedError`` listing the library a
+  deployment would plug in (librosa/ffmpeg). Every call site crosses one
+  narrow ``decode_*`` function, so swapping in the real codec touches
+  nothing else.
+
+Fake fixture formats (deterministic, for plumbing tests):
+  audio: b"FAKA" + int32 sample_rate + int16 PCM samples
+  video: b"FAKV" + int32 n_frames,w,h + n_frames raw RGB frames
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType, BinaryType, DoubleType, IntegerType, LongType, StringType,
+    StructField, StructType,
+)
+
+FAKE_AUDIO_MAGIC = b"FAKA"
+FAKE_VIDEO_MAGIC = b"FAKV"
+
+
+# --- deterministic fake codecs (STUB boundary) --------------------------------
+
+def encode_fake_audio(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    return FAKE_AUDIO_MAGIC + struct.pack(">I", sample_rate) + samples.astype("<i2").tobytes()
+
+
+def decode_audio(data: bytes) -> tuple[np.ndarray, int]:
+    """→ (float32 samples in [-1,1], sample_rate). STUB: real deployments
+    plug librosa/soundfile here; only the fixture format decodes in-repo."""
+    if data[:4] == FAKE_AUDIO_MAGIC:
+        (sr,) = struct.unpack(">I", data[4:8])
+        pcm = np.frombuffer(data[8:], "<i2").astype(np.float32) / 32768.0
+        return pcm, sr
+    raise NotImplementedError("audio codec requires librosa/soundfile (not in container)")
+
+
+def encode_fake_video(frames: np.ndarray) -> bytes:
+    n, h, w, _ = frames.shape
+    return FAKE_VIDEO_MAGIC + struct.pack(">III", n, w, h) + frames.astype(np.uint8).tobytes()
+
+
+def decode_video(data: bytes) -> np.ndarray:
+    """→ (n_frames, h, w, 3) uint8. STUB: real deployments plug ffmpeg/
+    PyAV here; only the fixture format decodes in-repo."""
+    if data[:4] == FAKE_VIDEO_MAGIC:
+        n, w, h = struct.unpack(">III", data[4:16])
+        return np.frombuffer(data[16:], np.uint8).reshape(n, h, w, 3)
+    raise NotImplementedError("video codec requires ffmpeg/PyAV (not in container)")
+
+
+# --- metadata sniff ------------------------------------------------------------
+
+_MAGIC = [
+    (b"\x89PNG", "image/png"), (b"FJPG", "image/fake-jpeg"),
+    (b"\xff\xd8\xff", "image/jpeg"), (b"GIF8", "image/gif"),
+    (b"FAKA", "audio/fake-pcm"), (b"RIFF", "audio/wav"),
+    (b"FAKV", "video/fake-raw"), (b"\x00\x00\x00", "video/mp4-ish"),
+    (b"%PDF", "application/pdf"),
+]
+
+BINARY_META = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("mime", StringType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+
+def sniff_binary_metadata(df: DataFrame, id_col: str, bytes_col: str) -> DataFrame:
+    """Typed metadata for opaque binary columns — vectorized magic sniff."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mimes, sizes = [], []
+            for b in pdf[bytes_col]:
+                data = bytes(b) if b is not None else b""
+                mime = "application/octet-stream"
+                for magic, m in _MAGIC:
+                    if data[: len(magic)] == magic:
+                        mime = m
+                        break
+                mimes.append(mime)
+                sizes.append(len(data))
+            yield pd.DataFrame(
+                {"media_id": pdf[id_col], "mime": mimes, "n_bytes": sizes}
+            )
+
+    return df.select(F.col(id_col), F.col(bytes_col)).mapInPandas(run, BINARY_META)
+
+
+# --- image resize (REAL — in-repo codec) ----------------------------------------
+
+RESIZED = StructType(
+    [
+        StructField("image_id", StringType()),
+        StructField("bytes", BinaryType()),
+        StructField("w", IntegerType()),
+        StructField("h", IntegerType()),
+    ]
+)
+
+
+def resize_images(df: DataFrame, size: int, id_col: str = "image_id", bytes_col: str = "bytes") -> DataFrame:
+    """Decode → area-resize to size×size → re-encode PNG (undecodable rows
+    dropped; at scale they route to a quarantine table)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from german_newspaper_crawler_spark.functions.codec import decode_image, encode_png
+        from german_newspaper_crawler_spark.functions.phash import _resize_area
+
+        for pdf in batches:
+            rows = []
+            for mid, b in zip(pdf[id_col], pdf[bytes_col]):
+                try:
+                    rgb = decode_image(bytes(b))
+                except (NotImplementedError, ValueError):
+                    continue
+                small = np.stack(
+                    [_resize_area(rgb[:, :, c].astype(np.float64), size) for c in range(3)],
+                    axis=-1,
+                ).clip(0, 255).astype(np.uint8)
+                rows.append((mid, encode_png(small), size, size))
+            yield pd.DataFrame(rows, columns=[f.name for f in RESIZED.fields])
+
+    return df.mapInPandas(run, RESIZED)
+
+
+# --- audio features (plumbing real, codec stubbed) --------------------------------
+
+AUDIO_FEATURES = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("duration_s", DoubleType()),
+        StructField("rms", DoubleType()),
+        StructField("zero_crossings", LongType()),
+    ]
+)
+
+
+def audio_features(df: DataFrame, id_col: str, bytes_col: str) -> DataFrame:
+    """Per-clip features over decoded PCM (numpy, vectorized per batch)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, b in zip(pdf[id_col], pdf[bytes_col]):
+                try:
+                    pcm, sr = decode_audio(bytes(b))
+                except NotImplementedError:
+                    continue  # quarantine path at scale
+                rows.append(
+                    (
+                        mid, sr, len(pcm) / sr,
+                        float(np.sqrt(np.mean(pcm**2))) if len(pcm) else 0.0,
+                        int(((pcm[:-1] * pcm[1:]) < 0).sum()),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_FEATURES.fields])
+
+    return df.mapInPandas(run, AUDIO_FEATURES)
+
+
+# --- video frame sampling (plumbing real, codec stubbed) ----------------------------
+
+FRAMES = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("png", BinaryType()),
+        StructField("phash", LongType()),
+    ]
+)
+
+
+def sample_video_frames(df: DataFrame, every_n: int, id_col: str, bytes_col: str) -> DataFrame:
+    """1 video row → N sampled-frame rows (flatmap), each re-encoded PNG with
+    its pHash — ready for the image dedup path."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from german_newspaper_crawler_spark.functions.codec import encode_png
+        from german_newspaper_crawler_spark.functions.phash import phash64
+
+        for pdf in batches:
+            rows = []
+            for mid, b in zip(pdf[id_col], pdf[bytes_col]):
+                try:
+                    frames = decode_video(bytes(b))
+                except NotImplementedError:
+                    continue
+                for i in range(0, len(frames), every_n):
+                    rows.append((mid, i, encode_png(frames[i]), phash64(frames[i])))
+            yield pd.DataFrame(rows, columns=[f.name for f in FRAMES.fields])
+
+    return df.mapInPandas(run, FRAMES)

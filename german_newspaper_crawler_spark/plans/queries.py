@@ -1278,3 +1278,72 @@ def ann_ivf_topk(spark, sf_dir):
     queries = emb.where(F.col("vec_id") < 5)
     return ivf_topk(queries, emb, id_col="vec_id", vec_col="embedding", k=10,
                     n_lists=8, n_probe=4)
+
+
+@register(
+    "text_token_count_bpe",
+    "Token counting, BPE-ish regex flavor (training-data pipeline op): "
+    "letter-runs / digit-runs / punctuation-runs — the pre-tokenizer shape "
+    "BPE vocabularies are trained over; plus the whitespace estimate (A5) "
+    "for comparison.",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '\\p{L}+|\\p{N}+|[^\\s\\p{L}\\p{N}]+')) AS BIGINT) AS n_bpe_tokens,
+           CAST(CASE WHEN TRIM(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(TRIM(text), '\\s+')) END AS BIGINT) AS n_ws_tokens
+    FROM documents
+    """,
+)
+def text_token_count_bpe(spark, sf_dir):
+    pat = r"\p{L}+|\p{N}+|[^\s\p{L}\p{N}]+"
+    return t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(pat), F.lit(0))).cast("long").alias("n_bpe_tokens"),
+        text.token_count_estimate("text").cast("long").alias("n_ws_tokens"),
+    )
+
+
+def _media_df(spark):
+    import numpy as np
+
+    from german_newspaper_crawler_spark.fixtures import make_image
+    from german_newspaper_crawler_spark.operators import multimodal as MM
+
+    rows = []
+    for i in range(8):
+        pcm = (np.sin(np.linspace(0, 30 * (i + 1), 8000)) * 18000).astype("<i2")
+        rows.append((f"aud-{i}", bytearray(MM.encode_fake_audio(pcm, 8000))))
+    for i in range(4):
+        frames = np.stack([make_image(500 + i * 10 + f, size=32) for f in range(6)])
+        rows.append((f"vid-{i}", bytearray(MM.encode_fake_video(frames))))
+    return spark.createDataFrame(rows, ["media_id", "bytes"])
+
+
+@register(
+    "mm_audio_features",
+    "Multimodal audio feature extraction over opaque binary columns "
+    "(mapInPandas, numpy-vectorized; codec boundary stubbed per container "
+    "limits — plumbing tested in tests/test_multimodal.py).",
+    oracle=None,
+)
+def mm_audio_features(spark, sf_dir):
+    from german_newspaper_crawler_spark.operators.multimodal import audio_features
+
+    return audio_features(_media_df(spark), "media_id", "bytes").select(
+        "media_id", "sample_rate", F.round("duration_s", 4).alias("duration_s"),
+        F.round("rms", 4).alias("rms"), "zero_crossings",
+    )
+
+
+@register(
+    "mm_video_frame_sample",
+    "Multimodal video frame sampling (1 video row → N frame rows with PNG + "
+    "pHash, feeding the image dedup path); codec boundary stubbed.",
+    oracle=None,
+)
+def mm_video_frame_sample(spark, sf_dir):
+    from german_newspaper_crawler_spark.operators.multimodal import sample_video_frames
+
+    return sample_video_frames(
+        _media_df(spark), every_n=2, id_col="media_id", bytes_col="bytes"
+    ).select("media_id", "frame_idx", "phash")
