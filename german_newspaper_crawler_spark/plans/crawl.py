@@ -349,7 +349,11 @@ def fetch_images_stage(
 def parse_article_stage(fetched: DataFrame) -> DataFrame:
     """Article HTML → metadata/body/figures (taz.py:19-141,264-365). Failed
     fetches (html="") still yield rows — the reference upserts them with
-    empty text (web_requests.py:129-150)."""
+    empty text (web_requests.py:129-150).
+
+    Unfused reference formulation (pre-fetched FETCHED rows in); the crawl
+    loop uses fetch_parse_articles_stage, which is the same logic with the
+    fetch fused in (one Arrow crossing per payload)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from german_newspaper_crawler_spark.parse.html import parse_article
@@ -410,7 +414,10 @@ def enrich_pos_tags(df: DataFrame, cfg: CrawlConfig) -> DataFrame:
 def image_stage(fetched_images: DataFrame) -> DataFrame:
     """Fetched image bytes → IMAGES rows: decode (in-repo codec) + dims +
     pHash, Arrow-batched. Undecodable rows are dropped to a metric (at scale:
-    quarantine table)."""
+    quarantine table).
+
+    Unfused reference formulation; the crawl loop uses fetch_images_stage
+    (fetch+decode+phash in one crossing)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from german_newspaper_crawler_spark.functions.codec import decode_image
