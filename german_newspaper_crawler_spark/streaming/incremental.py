@@ -78,3 +78,51 @@ def run_available_now(stream_df: DataFrame, checkpoint: str, out_dir: str) -> No
         .start()
     )
     q.awaitTermination()
+
+
+SESSION_OUT = "user_id bigint, event_id bigint, session_id bigint"
+SESSION_STATE = "last_ts double, session_id bigint"
+
+
+def streaming_sessionize(events: DataFrame, gap_s: int = 1800) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-user session ids with a gap rule, state = (last event time, current
+    session id) persisted in the state store across micro-batches/restarts.
+
+    The batch twin is the ``events_sessionize`` oracle query (lag + running
+    sum); this is the form the engine uses when events arrive as a live
+    stream. Assumes per-user event-time order across micro-batches (enforce
+    upstream with a watermark + sort within the ingestion job when sources
+    can reorder).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def sessionize(key, pdfs, state):
+        user_id = key[0]
+        if state.exists:
+            last_ts, session_id = state.get
+        else:
+            last_ts, session_id = None, 0
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for r in pdf.itertuples(index=False):
+                ts = r.ts.timestamp()
+                if last_ts is None or ts - last_ts > gap_s:
+                    session_id += 1
+                last_ts = ts
+                out.append((user_id, r.event_id, session_id))
+        state.update((last_ts, session_id))
+        yield pd.DataFrame(out, columns=["user_id", "event_id", "session_id"])
+
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            sessionize,
+            outputStructType=SESSION_OUT,
+            stateStructType=SESSION_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -76,3 +76,47 @@ def test_streaming_hourly_rollup_matches_batch(spark, tmp_path):
         batch.select("hour", "event_type", "n")
     )
     assert diff.count() == 0
+
+
+def test_stateful_sessionize_across_restarts(spark, tmp_path):
+    """applyInPandasWithState sessionization: state (last ts, session id)
+    survives micro-batch restarts — a session spanning two availableNow runs
+    keeps its id; a large gap in the second run opens a new session."""
+    from datetime import datetime
+
+    from german_newspaper_crawler_spark.streaming.incremental import (
+        run_available_now, streaming_sessionize,
+    )
+    from pyspark.sql.types import LongType, StructField, StructType, TimestampType
+
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+        ]
+    )
+    src, out, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+
+    def write(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+
+    t = lambda m: datetime(2026, 1, 1, 10, m, 0)  # noqa: E731
+    write([(1, 1, t(0)), (1, 2, t(5)), (2, 10, t(0))])
+    stream = streaming_sessionize(spark.readStream.schema(schema).parquet(src), gap_s=600)
+    run_available_now(stream, ckpt, out)
+
+    # second run: u1 event within gap (same session) + u1 event far later
+    # (new session); u2 event within gap
+    write([(1, 3, t(14)), (1, 4, t(50)), (2, 11, t(8))])
+    stream = streaming_sessionize(spark.readStream.schema(schema).parquet(src), gap_s=600)
+    run_available_now(stream, ckpt, out)
+
+    got = {
+        (r["user_id"], r["event_id"]): r["session_id"]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got[(1, 1)] == got[(1, 2)] == 1
+    assert got[(1, 3)] == 1  # continues the session from the PREVIOUS run
+    assert got[(1, 4)] == 2  # > gap → new session
+    assert got[(2, 10)] == got[(2, 11)] == 1
