@@ -1347,3 +1347,53 @@ def mm_video_frame_sample(spark, sf_dir):
     return sample_video_frames(
         _media_df(spark), every_n=2, id_col="media_id", bytes_col="bytes"
     ).select("media_id", "frame_idx", "phash")
+
+
+@register(
+    "text_winnowing_fingerprints",
+    "Winnowing document fingerprints (MOSS algorithm): hash every k-gram, "
+    "keep the min hash of each sliding window of w consecutive positions, "
+    "distinct per doc — guarantees any shared substring of length >= w+k-1 "
+    "yields a shared fingerprint. Pure window functions, no UDF.",
+    oracle=f"""
+    WITH nt AS (
+      SELECT doc_id, lower(TRIM(regexp_replace(text, '\\s+', ' ', 'g'))) AS s
+      FROM documents WHERE doc_id < 100 AND length(TRIM(text)) >= 12),
+    pos AS (SELECT doc_id, s, unnest(generate_series(1, length(s) - 7)) AS i FROM nt),
+    kg AS (SELECT doc_id, i, {hash64_sql("substr(s, CAST(i AS INT), 8)")} AS h FROM pos),
+    wins AS (
+      SELECT doc_id, i,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS wmin,
+             COUNT(*) OVER (PARTITION BY doc_id) AS n
+      FROM kg)
+    SELECT DISTINCT doc_id, wmin AS fingerprint
+    FROM wins WHERE i <= n - 4
+    """,
+)
+def text_winnowing_fingerprints(spark, sf_dir):
+    from german_newspaper_crawler_spark.functions.text import ws_normalize
+
+    k, w = 8, 5
+    nt = (
+        t(spark, sf_dir, "documents")
+        .where((F.col("doc_id") < 100) & (F.length(F.trim("text")) >= k + w - 1))
+        .select("doc_id", F.lower(ws_normalize("text")).alias("s"))
+    )
+    pos = nt.select(
+        "doc_id", "s",
+        F.explode(F.sequence(F.lit(1), F.length("s") - (k - 1))).alias("i"),
+    )
+    kg = pos.select("doc_id", "i", hash64(F.expr(f"substr(s, i, {k})")).alias("h"))
+    win = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, w - 1)
+    cnt = Window.partitionBy("doc_id")
+    wins = kg.select(
+        "doc_id", "i",
+        F.min("h").over(win).alias("wmin"),
+        F.count("*").over(cnt).alias("n"),
+    )
+    return (
+        wins.where(F.col("i") <= F.col("n") - (w - 1))
+        .select("doc_id", F.col("wmin").alias("fingerprint"))
+        .distinct()
+    )
