@@ -1397,3 +1397,71 @@ def text_winnowing_fingerprints(spark, sf_dir):
         .select("doc_id", F.col("wmin").alias("fingerprint"))
         .distinct()
     )
+
+
+@register(
+    "curation_pipeline",
+    "Flagship composition — the training-data curation pipeline end-to-end: "
+    "quality gate (length band) → exact dedup (first-3-token signature, min "
+    "doc_id keeper) → near-dup clustering (Jaccard edges → connected "
+    "components) → curated keeper set with per-source counts.",
+    oracle=f"""
+    WITH RECURSIVE q AS (
+      SELECT doc_id, source, text,
+             CASE WHEN TRIM(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(TRIM(text), '\\s+')) END AS ntok
+      FROM documents),
+    quality AS (SELECT * FROM q WHERE ntok BETWEEN 10 AND 5000),
+    sig AS (
+      SELECT doc_id, source,
+             SHA256(array_to_string((regexp_split_to_array(TRIM(text), '\\s+'))[1:3], ' ')) AS sg
+      FROM quality),
+    exact_keep AS (
+      SELECT doc_id, source FROM (
+        SELECT doc_id, source, ROW_NUMBER() OVER (PARTITION BY sg ORDER BY doc_id) AS rn
+        FROM sig) WHERE rn = 1),
+    toks AS (
+      SELECT d.doc_id, regexp_split_to_array(TRIM(d.text), '\\s+') AS tk
+      FROM documents d JOIN exact_keep e ON d.doc_id = e.doc_id
+      WHERE len(regexp_split_to_array(TRIM(d.text), '\\s+')) >= 3),
+    pos AS (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 2)) AS i FROM toks),
+    sh AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2] AS shingle FROM pos),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS c
+      FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+    edges AS (
+      SELECT a, b FROM common
+      JOIN sizes sa ON sa.doc_id = common.a JOIN sizes sb ON sb.doc_id = common.b
+      WHERE ROUND(c * 1.0 / (sa.n + sb.n - c), 6) >= 0.5),
+    sym AS (SELECT a AS src, b AS dst FROM edges UNION SELECT b, a FROM edges),
+    reach(src, dst) AS (
+      SELECT src, dst FROM sym
+      UNION SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+    comp AS (SELECT src AS id, LEAST(src, MIN(dst)) AS component FROM reach GROUP BY src)
+    SELECT e.source, CAST(COUNT(*) AS BIGINT) AS n_curated
+    FROM exact_keep e LEFT JOIN comp ON e.doc_id = comp.id
+    WHERE e.doc_id = COALESCE(comp.component, e.doc_id)
+    GROUP BY e.source
+    """,
+    bench=True,
+)
+def curation_pipeline(spark, sf_dir):
+    from german_newspaper_crawler_spark.functions.text import token_count_estimate
+    from german_newspaper_crawler_spark.operators.components import dedup_keepers
+    from german_newspaper_crawler_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = t(spark, sf_dir, "documents")
+    quality = docs.where(token_count_estimate("text").between(10, 5000))
+    sig = F.sha2(F.concat_ws(" ", F.slice(F.split(F.trim("text"), r"\s+"), 1, 3)), 256)
+    w = Window.partitionBy(sig).orderBy("doc_id")
+    exact_keep = (
+        quality.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    edges = ngram_jaccard_pairs(exact_keep, "doc_id", "text", n=3, threshold=0.5)
+    curated = dedup_keepers(
+        exact_keep.select("doc_id", "source"), "doc_id", edges
+    ).where(F.col("is_keeper"))
+    return curated.groupBy("source").agg(F.count("*").cast("long").alias("n_curated"))
