@@ -196,3 +196,50 @@ def test_resume_from_checkpoint(spark, fixture_data, tmp_path):
     golden, _, _ = simulate_crawl(seeds, pages, parsed_ts=PARSED_TS)
     arts = store.read(spark, "articles").toPandas().sort_values("_id")
     assert list(arts["url"]) == [r["url"] for r in golden]
+
+
+def test_skipped_first_instance_second_survives(spark, tmp_path):
+    """Ordering subtlety (taz.py:217-247): when a URL's FIRST anchor instance
+    is skipped by the anchor-text-hash, a later instance with different text
+    survives and the URL is crawled at the LATER instance's ladder position.
+    Both the simulator and the engine must place it after the other rank-0
+    URLs' positions accordingly."""
+    from datetime import datetime as dt
+
+    from german_newspaper_crawler_spark import schemas
+    from german_newspaper_crawler_spark.sources.fetch import table_fetcher
+    from tests.reference_sim import simulate_crawl
+
+    host = "edge.example"
+    listing = (
+        '<a class="teaser-link" href="/artikel/x">Gesperrter Text</a>'
+        '<a class="teaser-link" href="/artikel/y">Anderer</a>'
+        '<a href="/artikel/x">Zweite Chance</a>'
+    )
+    pages = {
+        f"https://{host}/": (200, f"<html><body>{listing}</body></html>"),
+        f"https://{host}/artikel/x": (200, "<p>X Inhalt der die.</p>"),
+        f"https://{host}/artikel/y": (200, "<p>Y Inhalt und das.</p>"),
+    }
+    seeds = [{"domain": "d0", "base_url": f"https://{host}/", "host": host, "collection": "c"}]
+    pre = {sha256("Gesperrter Text")}
+
+    golden, _, order = simulate_crawl(seeds, pages, known_hashes=set(pre), parsed_ts=PARSED_TS)
+    # reference: /artikel/x skipped at rank 0 (text hash), re-appears at
+    # rank 4 instance → crawled AFTER /artikel/y
+    assert order == [f"https://{host}/artikel/y", f"https://{host}/artikel/x"]
+
+    store = SnapshotStore(str(tmp_path / "edge"))
+    store.append(
+        "seen",
+        spark.createDataFrame([(h, "pre", dt(2025, 1, 1)) for h in pre], schemas.SEEN),
+    )
+    seeds_df = spark.createDataFrame(
+        [(s["domain"], s["base_url"], s["host"], s["collection"]) for s in seeds],
+        ["domain", "base_url", "host", "collection"],
+    )
+    cfg = CrawlConfig(n_buckets=4, max_rounds=3, parsed_ts=PARSED_TS, extract_images=False)
+    run_crawl(spark, store, seeds_df, table_fetcher(pages, {}), cfg=cfg)
+    arts = store.read(spark, "articles").orderBy("_id").collect()
+    assert [r["url"] for r in arts] == order
+    assert [r["_id"] for r in arts] == [1, 2]
