@@ -43,6 +43,8 @@ def main() -> None:
         max_rounds=args.rounds,
         per_host_budget=args.per_host_budget,
         respect_delay=not args.no_respect_delay,
+        use_robots_table=True,  # real crawls always honor robots.txt (G2)
+        fetch_concurrency=8,  # reference library-path default (parallel_fetcher.py:45)
     )
     stats = run_crawl(spark, store, seeds_df, http_fetcher(), cfg=cfg)
     print(json.dumps(stats))
