@@ -62,6 +62,17 @@ class CrawlConfig:
     bloom_fpr: float = 0.01
     pos_tag_cap: int = 50_000  # MAX_POS_TAG_ENTRIES (pos_tagging.py:13)
     pos_tag_skip: int = 200_000  # MAX_POS_TAG_TOKENS (pos_tagging.py:14)
+    # fold accumulated frontier merge-deltas back into one base file set
+    # every N rounds (Iceberg rewrite_data_files cadence); keeps the
+    # merge-on-read delta chain short without per-round full rewrites
+    compact_every: int = 8
+    # U2 strict reference parity: scope the seen anti-join to the current
+    # collection/domain only, reproducing web_requests.py:222-229 where
+    # known_hashes is REPLACED by the refreshed single-collection set after
+    # each domain — so multi-domain runs re-process cross-domain duplicates
+    # exactly like the reference. Default keeps the documented deviation
+    # (global union seen-set; SURVEY §1.4).
+    strict_refresh_replace: bool = False
 
 
 # --- listing parse (P3 flatmap: 1 listing row → N anchor rows) ---------------
@@ -103,7 +114,8 @@ def parse_listing_stage(fetched: DataFrame) -> DataFrame:
 
 
 def refill_from_anchors(
-    anchors: DataFrame, seen: DataFrame, round_no: int, cfg: CrawlConfig
+    anchors: DataFrame, seen: DataFrame, round_no: int, cfg: CrawlConfig,
+    scope_col: str | None = None,
 ) -> DataFrame:
     """Anchor rows → new pending frontier rows, reproducing the reference's
     link-collection skip order (taz.py:210-247):
@@ -133,9 +145,15 @@ def refill_from_anchors(
             ),
         )
     )
-    seen_h = seen.select(F.col("content_hash").alias("h")).distinct()
-    cand = cand.join(seen_h, cand.url_hash == seen_h.h, "left_anti")
-    cand = cand.join(seen_h, cand.text_hash == seen_h.h, "left_anti")
+    sel = [F.col("content_hash").alias("h")]
+    if scope_col:  # U2 strict mode: a hash only skips same-scope anchors
+        sel.append(F.col(scope_col).alias("__scope"))
+    seen_h = seen.select(*sel).distinct()
+    for hcol in ("url_hash", "text_hash"):
+        cond = cand[hcol] == seen_h["h"]
+        if scope_col:
+            cond = cond & (cand[scope_col] == seen_h["__scope"])
+        cand = cand.join(seen_h, cond, "left_anti")
     deduped = FR.first_occurrence_dedup(cand)
     return FR.anchors_to_frontier(deduped, round_no, cfg.n_buckets, kind="article")
 
@@ -190,12 +208,11 @@ def fetch_parse_articles_stage(
     CPU. Robots-blocked rows (status -403) are dropped here (never fetched →
     no article row)."""
     from german_newspaper_crawler_spark.sources.fetch import (
-        fetch_pandas_batch, partition_by_bucket,
+        fetch_pandas_batch, stage_input,
     )
 
     robots = robots or {}
-    cols = ["url", "host", "bucket", "priority", "seq", "kind", "domain", "base_url", "anchor_text"]
-    src = partition_by_bucket(batch.select(*cols), n_partitions)
+    src = stage_input(batch, n_partitions)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -253,12 +270,11 @@ def fetch_parse_listings_stage(
     """Fused fetch + anchor-ladder extraction for listing rows (the P3
     flatmap): listing html never leaves the Python worker."""
     from german_newspaper_crawler_spark.sources.fetch import (
-        fetch_pandas_batch, partition_by_bucket,
+        fetch_pandas_batch, stage_input,
     )
 
     robots = robots or {}
-    cols = ["url", "host", "bucket", "priority", "seq", "kind", "domain", "base_url", "anchor_text"]
-    src = partition_by_bucket(batch.select(*cols), n_partitions)
+    src = stage_input(batch, n_partitions)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from german_newspaper_crawler_spark.parse.html import extract_anchors
@@ -302,12 +318,11 @@ def fetch_images_stage(
     the Arrow boundary once. Undecodable/blocked/failed rows keep their
     (url, status) for frontier bookkeeping with NULL image fields."""
     from german_newspaper_crawler_spark.sources.fetch import (
-        fetch_pandas_batch, partition_by_bucket,
+        fetch_pandas_batch, stage_input,
     )
 
     robots = robots or {}
-    cols = ["url", "host", "bucket", "priority", "seq", "kind", "domain", "base_url", "anchor_text"]
-    src = partition_by_bucket(batch.select(*cols), n_partitions)
+    src = stage_input(batch, n_partitions)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from german_newspaper_crawler_spark.functions.codec import decode_image
@@ -475,9 +490,15 @@ def skip_known(
     seen: DataFrame,
     blooms: DataFrame | None = None,
     n_bloom_buckets: int = 16,
+    scope_col: str | None = None,
 ) -> DataFrame:
     """The three-variant known-hash skip (web_requests.py:182-193): drop the
     row if content_hash OR url_hash OR text-content-hash is known.
+
+    ``scope_col`` (U2 strict mode, web_requests.py:222-229): when set
+    (e.g. ``"domain"``), a hash only skips rows of the SAME scope value —
+    reproducing the reference's per-collection known_hashes replacement,
+    where a cross-domain duplicate is re-processed.
 
     With ``blooms`` (G1 accelerator): rows whose three hash variants are all
     provably-absent from the per-bucket Bloom filters bypass the exact
@@ -504,12 +525,20 @@ def skip_known(
             ).drop("maybe_seen", "__h")
         fresh = flagged.where(~F.col("__maybe")).drop("__maybe")
         maybe = flagged.where(F.col("__maybe")).drop("__maybe")
-        return fresh.unionByName(skip_known(maybe, seen))
+        # bloom "provably absent" is global, hence absent in every scope —
+        # conservative under strict mode too
+        return fresh.unionByName(skip_known(maybe, seen, scope_col=scope_col))
 
-    seen_h = seen.select(F.col("content_hash").alias("h")).distinct()
+    sel = [F.col("content_hash").alias("h")]
+    if scope_col:
+        sel.append(F.col(scope_col).alias("__scope"))
+    seen_h = seen.select(*sel).distinct()
     out = articles
     for c in ["content_hash", "url_hash", "text_content_hash"]:
-        out = out.join(seen_h, out[c] == seen_h.h, "left_anti")
+        cond = out[c] == seen_h["h"]
+        if scope_col:
+            cond = cond & (out[scope_col] == seen_h["__scope"])
+        out = out.join(seen_h, cond, "left_anti")
     return out
 
 
@@ -548,23 +577,30 @@ def run_crawl(
             break
         seen = store.read(spark, "seen", schemas.SEEN)
 
+        # G2 at scale: robots state never touches the driver — the round's
+        # hosts are TTL-checked as DataFrames, stale hosts go through a
+        # distributed robots-fetch leg, and the rules come back onto the pop
+        # batch via a broadcast join (VERDICT r1 #3).
+        work = batch
         round_robots = robots
         if cfg.use_robots_table:
-            from german_newspaper_crawler_spark.operators.robots import refresh_robots
+            from german_newspaper_crawler_spark.operators.robots import (
+                attach_robots, refresh_robots_df,
+            )
 
-            hosts = [r["host"] for r in batch.select("host").distinct().collect()]
-            round_robots = refresh_robots(
-                spark, store, hosts, fetcher,
+            rules = refresh_robots_df(
+                spark, store, batch.select("host"), fetcher,
                 now=cfg.parsed_ts or datetime.utcnow(),
                 ttl_hours=cfg.robots_ttl_hours,
             )
+            work = attach_robots(batch, rules)
 
         new_frontier: list[DataFrame] = []
         status_parts: list[DataFrame] = []  # (url, status) for state updates
         n_articles = n_images = 0
 
         # 1) listings → fused fetch+anchor-extract → frontier refill
-        listings = batch.where(F.col("kind") == "listing")
+        listings = work.where(F.col("kind") == "listing")
         if not listings.isEmpty():
             anchors = fetch_parse_listings_stage(
                 listings, fetcher, robots=round_robots, respect_delay=cfg.respect_delay,
@@ -575,12 +611,13 @@ def run_crawl(
                 .withColumnRenamed("page_url", "url")
             )
             refill = refill_from_anchors(
-                anchors.where(F.col("sel_rank") >= 0), seen, rnd + 1, cfg
+                anchors.where(F.col("sel_rank") >= 0), seen, rnd + 1, cfg,
+                scope_col="domain" if cfg.strict_refresh_replace else None,
             )
             new_frontier.append(refill)
 
         # 2) articles → fused fetch+parse → identity → skip → enrich → merge
-        art_batch = batch.where(F.col("kind") == "article")
+        art_batch = work.where(F.col("kind") == "article")
         if not art_batch.isEmpty():
             parsed = article_identity(
                 fetch_parse_articles_stage(
@@ -607,17 +644,23 @@ def run_crawl(
             # robots-blocked rows were never fetched → no article row;
             # failures (status 0/4xx/5xx) DO upsert with empty html
             # (web_requests.py:129-150)
+            scope = "domain" if cfg.strict_refresh_replace else None
             fresh = skip_known(
                 parsed.where(F.col("status") != -403), seen,
                 blooms=blooms, n_bloom_buckets=cfg.bloom_buckets,
+                scope_col=scope,
             )
             enriched = enrich_pos_tags(fresh, cfg)
             # post-tag re-check (web_requests.py:205-211) — whitespace tagger
             # never mutates content_hash; kept as the same anti-join for parity
-            seen_h2 = seen.select(F.col("content_hash").alias("h")).distinct()
-            enriched = enriched.join(
-                seen_h2, enriched.content_hash == seen_h2.h, "left_anti"
+            sel2 = [F.col("content_hash").alias("h")] + (
+                [F.col("domain").alias("__scope")] if scope else []
             )
+            seen_h2 = seen.select(*sel2).distinct()
+            cond2 = enriched.content_hash == seen_h2["h"]
+            if scope:
+                cond2 = cond2 & (enriched.domain == seen_h2["__scope"])
+            enriched = enriched.join(seen_h2, cond2, "left_anti")
             parsed_ts = cfg.parsed_ts or datetime.utcnow()
             from german_newspaper_crawler_spark.operators.ids import assign_ids
 
@@ -676,7 +719,7 @@ def run_crawl(
                 )
 
         # 4) images → fused fetch+decode+phash → exact-phash dedup → append
-        img_batch = batch.where(F.col("kind") == "image")
+        img_batch = work.where(F.col("kind") == "image")
         if not img_batch.isEmpty():
             img_out = fetch_images_stage(
                 img_batch, fetcher, robots=round_robots, respect_delay=cfg.respect_delay,
@@ -698,9 +741,11 @@ def run_crawl(
             if n_images:
                 store.append("images", imgs)
 
-        # 5) frontier state transitions + refill (one merge on url)
-        from german_newspaper_crawler_spark.operators.merge import merge_upsert
-
+        # 5) frontier state transitions + refill. State transitions go through
+        # merge_delta (write ∝ popped-batch size, never a full-frontier
+        # rewrite — VERDICT r1 #2); refill rows are new URLs, appended after
+        # anti-joining the current frontier, so the store's append contract
+        # (no key collisions with live deltas) holds by construction.
         n_fetched = 0
         if status_parts:
             statuses = status_parts[0]
@@ -721,12 +766,18 @@ def run_crawl(
                     F.current_timestamp().alias("discovered_at"),
                 )
             )
-            updated = merge_upsert(frontier, done, keys=["url"])
+            store.merge_delta("frontier", done, keys=["url"])
+            known_urls = frontier.select("url")
             for nf in new_frontier:
-                updated = updated.unionByName(
-                    nf.join(updated.select("url"), "url", "left_anti")
-                )
-            store.overwrite("frontier", updated)
+                fresh_rows = nf.join(known_urls, "url", "left_anti").cache()
+                if not fresh_rows.isEmpty():
+                    store.append("frontier", fresh_rows.select(
+                        *[f.name for f in schemas.FRONTIER.fields]
+                    ))
+                    known_urls = known_urls.unionByName(fresh_rows.select("url"))
+                fresh_rows.unpersist()
+            if cfg.compact_every and (rnd + 1) % cfg.compact_every == 0:
+                store.compact(spark, "frontier")
 
         metrics.append(
             {

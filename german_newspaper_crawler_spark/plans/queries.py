@@ -397,7 +397,8 @@ def a5_a6_token_gate(spark, sf_dir):
     WITH toks AS (
       SELECT doc_id, regexp_split_to_array(TRIM(text), '\\s+') AS tk FROM documents
       WHERE TRIM(text) <> '')
-    SELECT doc_id, list_sort(tk[1:50]) AS sorted_head, CAST(len(tk) AS BIGINT) AS n
+    SELECT doc_id, array_to_string(list_sort(tk[1:50]), ' ') AS sorted_head,
+           CAST(len(tk) AS BIGINT) AS n
     FROM toks
     """,
 )
@@ -409,7 +410,7 @@ def o1_o2_sort_truncate_tokens(spark, sf_dir):
     )
     return df.select(
         "doc_id",
-        F.array_sort(F.slice("tk", 1, 50)).alias("sorted_head"),
+        F.array_join(F.array_sort(F.slice("tk", 1, 50)), " ").alias("sorted_head"),
         F.size("tk").cast("long").alias("n"),
     )
 

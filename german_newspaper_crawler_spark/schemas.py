@@ -124,8 +124,12 @@ ROBOTS = StructType(
         StructField("host", StringType(), False),
         StructField("robots_txt", StringType()),
         StructField("disallow_prefixes", ArrayType(StringType())),
+        StructField("allow_prefixes", ArrayType(StringType())),
         StructField("crawl_delay_ms", IntegerType()),
         StructField("fetched_at", TimestampType()),
+        # HTTP status of the robots.txt fetch; non-200 rows are allow-all and
+        # expire on the short failure TTL (see operators/robots.py)
+        StructField("status", IntegerType()),
     ]
 )
 

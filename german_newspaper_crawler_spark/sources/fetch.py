@@ -83,12 +83,23 @@ def _fetch_host_rows(
     last_fetch: dict[str, float],
 ) -> list[tuple[int, str, bytes | None, int]]:
     """Strictly sequential fetch of one host's urls (the reference's per-URL
-    loop, web_requests.py:127) with robots + crawl-delay enforcement."""
+    loop, web_requests.py:127) with robots + crawl-delay enforcement.
+
+    Robots dict values are ``(disallow, delay_ms)`` or
+    ``(disallow, allow, delay_ms)``; resolution is longest-prefix-wins
+    (operators/robots.py:robots_blocked)."""
+    from german_newspaper_crawler_spark.operators.robots import robots_blocked
+
     out = []
-    dis, delay_ms = robots.get(host, ([], 0))
+    rule = robots.get(host, ([], 0))
+    if len(rule) == 2:
+        dis, delay_ms = rule
+        allow: list[str] = []
+    else:
+        dis, allow, delay_ms = rule
     for url in urls:
         path = _path_of(url)
-        if any(path.startswith(p) for p in dis):
+        if robots_blocked(path, dis, allow):
             out.append((-403, "", None, 0))  # robots-blocked, never fetched
             continue
         if respect_delay and delay_ms:
@@ -133,6 +144,20 @@ def fetch_pandas_batch(
     deliberately NOT reproduced: order is carried as data here).
     """
     pdf = pdf.sort_values(["host", "priority", "seq"], kind="mergesort")
+    if "__robots_dis" in pdf.columns:
+        # rules arrived as broadcast-joined columns (operators/robots.py
+        # attach_robots) — the scale path; the dict param covers injected
+        # static rules and tests
+        robots = dict(robots)
+        rr = pdf[["host", "__robots_dis", "__robots_allow", "__robots_delay"]]
+        for h, dis, alw, delay in rr.drop_duplicates("host").itertuples(index=False):
+            if dis is None and alw is None and pd.isna(delay):
+                continue  # no rules row for this host → allow-all default
+            robots[h] = (
+                list(dis) if dis is not None else [],
+                list(alw) if alw is not None else [],
+                0 if pd.isna(delay) else int(delay),
+            )
     host_groups: dict[str, list[int]] = {}
     urls = list(pdf["url"])
     for i, host in enumerate(pdf["host"]):
@@ -175,6 +200,19 @@ def partition_by_bucket(batch: DataFrame, n_partitions: int | None = None) -> Da
     return batch.repartition(parts, "bucket")
 
 
+BATCH_COLS = [
+    "url", "host", "bucket", "priority", "seq", "kind",
+    "domain", "base_url", "anchor_text",
+]
+
+
+def stage_input(batch: DataFrame, n_partitions: int | None = None) -> DataFrame:
+    """Project a pop batch to the fetch-stage input columns (plus any
+    broadcast-joined robots rule columns) and co-locate hosts by bucket."""
+    cols = BATCH_COLS + [c for c in batch.columns if c.startswith("__robots_")]
+    return partition_by_bucket(batch.select(*cols), n_partitions)
+
+
 def fetch_stage(
     batch: DataFrame,
     fetcher: Fetcher,
@@ -194,14 +232,15 @@ def fetch_stage(
     times, which is what the throughput scales with.
     """
     robots = robots or {}
-    cols = ["url", "host", "bucket", "priority", "seq", "kind", "domain", "base_url", "anchor_text"]
-    src = partition_by_bucket(batch.select(*cols), n_partitions)
+    src = stage_input(batch, n_partitions)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         last_fetch: dict[str, float] = {}  # partition-local politeness state
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            yield fetch_pandas_batch(pdf, fetcher, robots, respect_delay, last_fetch)
+            yield fetch_pandas_batch(
+                pdf, fetcher, robots, respect_delay, last_fetch
+            )[[f.name for f in schemas.FETCHED.fields]]
 
     return src.mapInPandas(run, schema=schemas.FETCHED)

@@ -243,3 +243,81 @@ def test_skipped_first_instance_second_survives(spark, tmp_path):
     arts = store.read(spark, "articles").orderBy("_id").collect()
     assert [r["url"] for r in arts] == order
     assert [r["_id"] for r in arts] == [1, 2]
+
+
+def test_strict_refresh_replace_scopes_seen_to_domain(spark, tmp_path):
+    """U2 strict mode (web_requests.py:222-229 + scr:112-113): a hash known
+    under one collection/domain does NOT skip another domain's article —
+    cross-domain duplicates are re-processed like the reference. Default
+    (global union seen) skips them (documented deviation, SURVEY §1.4)."""
+    from datetime import datetime as dt
+
+    import german_newspaper_crawler_spark.schemas as schemas
+
+    seeds, pages, blobs, _ = make_fixtures(n_hosts=2, articles_per_host=4)
+    target = f"https://{seeds[1]['host']}/artikel/a1"
+    seeds_df = spark.createDataFrame(
+        [(s["domain"], s["base_url"], s["host"], s["collection"]) for s in seeds],
+        ["domain", "base_url", "host", "collection"],
+    )
+    results = {}
+    for strict in (False, True):
+        store = SnapshotStore(str(tmp_path / f"strict{strict}"))
+        # pre-seed d1's article hash under d0's collection scope
+        store.append(
+            "seen",
+            spark.createDataFrame(
+                [(sha256(target), seeds[0]["domain"], dt(2025, 1, 1))], schemas.SEEN
+            ),
+        )
+        cfg = CrawlConfig(
+            n_buckets=8, max_rounds=3, parsed_ts=PARSED_TS, extract_images=False,
+            strict_refresh_replace=strict,
+        )
+        run_crawl(spark, store, seeds_df, table_fetcher(pages, blobs), cfg=cfg)
+        results[strict] = {
+            r["url"] for r in store.read(spark, "articles").select("url").collect()
+        }
+    assert target not in results[False]  # global seen: skipped
+    assert target in results[True]  # strict per-domain scope: re-processed
+    # everything else identical between modes
+    assert results[True] - {target} == results[False]
+
+
+def test_frontier_writes_are_batch_sized_deltas(spark, tmp_path):
+    """VERDICT r1 #2: per-round frontier persistence writes the popped
+    batch's state transitions + refill appends — never a full rewrite."""
+    import os
+
+    seeds, pages, blobs, _ = make_fixtures(n_hosts=2, articles_per_host=5)
+    seeds_df = spark.createDataFrame(
+        [(s["domain"], s["base_url"], s["host"], s["collection"]) for s in seeds],
+        ["domain", "base_url", "host", "collection"],
+    )
+    store = SnapshotStore(str(tmp_path / "wv"))
+    cfg = CrawlConfig(
+        n_buckets=8, max_rounds=4, parsed_ts=PARSED_TS, extract_images=True,
+        compact_every=0,  # keep every delta visible for inspection
+    )
+    run_crawl(spark, store, seeds_df, table_fetcher(pages, blobs), cfg=cfg)
+
+    m = store._read_manifest("frontier")
+    ops = [s["op"] for s in m["snapshots"]]
+    assert "overwrite" not in ops and "merge" not in ops  # no full rewrites
+    assert ops.count("merge-delta") >= 2  # one state-transition delta per round
+
+    total = store.read(spark, "frontier").count()
+    tdir = os.path.join(str(tmp_path / "wv"), "frontier")
+    # every delta commit is strictly smaller than the final frontier, and the
+    # sum of ALL commit volumes ≈ total + transitions (each url written at
+    # most twice: once discovered, once transitioned) — not rounds × total
+    delta_rows = [
+        spark.read.parquet(os.path.join(tdir, s["dir"])).count()
+        for s in m["snapshots"] if s["op"] == "merge-delta"
+    ]
+    assert all(d < total for d in delta_rows)
+    all_rows = [
+        spark.read.parquet(os.path.join(tdir, s["dir"])).count()
+        for s in m["snapshots"]
+    ]
+    assert sum(all_rows) <= 2 * total

@@ -69,3 +69,49 @@ def test_store_compact_and_expire(spark, tmp_path):
     assert removed == 5
     assert store.read(spark, "t").count() == 5
     assert store.read_at(spark, "t", sid).count() == 5
+
+
+def test_store_merge_delta_write_volume_and_resolution(spark, tmp_path):
+    """merge_delta writes ONLY the batch (∝ batch size, never table size) and
+    read resolves delta-wins-by-key over the base snapshots."""
+    import os
+
+    store = SnapshotStore(str(tmp_path / "d"))
+    base = spark.createDataFrame([(i, "pending") for i in range(1000)], ["k", "v"])
+    store.append("t", base)
+    s_pre = store.read_at  # noqa: F841  (keep flake quiet about unused)
+
+    def dir_rows(snap_dir):
+        # count parquet rows committed in one snapshot dir
+        return spark.read.parquet(os.path.join(str(tmp_path / "d"), "t", snap_dir)).count()
+
+    delta = spark.createDataFrame([(i, "fetched") for i in range(10)], ["k", "v"])
+    sid = store.merge_delta("t", delta, keys=["k"])
+    m_dirs = [s for s in store._read_manifest("t")["snapshots"] if s["op"] == "merge-delta"]
+    assert len(m_dirs) == 1
+    # the committed delta snapshot holds exactly the batch — not 1000 rows
+    assert dir_rows(m_dirs[0]["dir"]) == 10
+
+    resolved = store.read(spark, "t")
+    assert resolved.count() == 1000
+    got = {r["k"]: r["v"] for r in resolved.where("k < 12").collect()}
+    assert all(got[i] == "fetched" for i in range(10))
+    assert got[10] == got[11] == "pending"
+
+    # second delta overrides the first for overlapping keys (latest wins)
+    store.merge_delta("t", spark.createDataFrame([(5, "failed")], ["k", "v"]), keys=["k"])
+    got2 = {r["k"]: r["v"] for r in store.read(spark, "t").where("k in (4,5)").collect()}
+    assert got2 == {4: "fetched", 5: "failed"}
+
+    # appended rows with NEW keys coexist with live deltas (store contract)
+    store.append("t", spark.createDataFrame([(2000, "pending")], ["k", "v"]))
+    assert store.read(spark, "t").count() == 1001
+
+    # time travel re-applies the resolution as of the old snapshot
+    assert store.read_at(spark, "t", sid).where("v = 'fetched'").count() == 10
+
+    # compaction folds deltas into one base dir; result set unchanged
+    store.compact(spark, "t")
+    assert len(store._read_manifest("t")["live"]) == 1
+    got3 = {r["k"]: r["v"] for r in store.read(spark, "t").where("k in (5, 2000)").collect()}
+    assert got3 == {5: "failed", 2000: "pending"}

@@ -1,62 +1,152 @@
-"""G2 robots table: parsing, TTL refresh, enforcement through the crawl."""
+"""G2 robots table: parsing, TTL refresh (join path), enforcement through
+the crawl."""
 
 from __future__ import annotations
 
 from datetime import datetime
 
 from german_newspaper_crawler_spark.operators.robots import (
-    parse_robots_txt, refresh_robots,
+    attach_robots, parse_robots_txt, refresh_robots_df, robots_blocked,
 )
 from german_newspaper_crawler_spark.sources.store import SnapshotStore
 
+TXT = """
+# comment
+User-agent: evilbot
+Disallow: /
+
+User-agent: *
+Disallow: /intern/
+Disallow: /tmp/
+Crawl-delay: 1.5
+
+User-agent: otherbot
+Disallow: /x/
+"""
+
 
 def test_parse_robots_txt():
-    txt = """
-    # comment
-    User-agent: evilbot
-    Disallow: /
-
-    User-agent: *
-    Disallow: /intern/
-    Disallow: /tmp/
-    Crawl-delay: 1.5
-
-    User-agent: otherbot
-    Disallow: /x/
-    """
-    dis, delay = parse_robots_txt(txt)
+    dis, alw, delay = parse_robots_txt(TXT)
     assert dis == ["/intern/", "/tmp/"]
+    assert alw == []
     assert delay == 1500
-    assert parse_robots_txt("") == ([], 0)
-    assert parse_robots_txt("User-agent: *\nDisallow:") == ([], 0)  # allow-all
+    assert parse_robots_txt("") == ([], [], 0)
+    # allow-all: empty Disallow value is ignored
+    assert parse_robots_txt("User-agent: *\nDisallow:") == ([], [], 0)
 
 
-def test_refresh_robots_ttl_and_cache(spark, tmp_path):
-    calls: list[str] = []
+def test_parse_robots_allow_and_longest_prefix():
+    txt = "User-agent: *\nDisallow: /a/\nAllow: /a/public/\n"
+    dis, alw, _ = parse_robots_txt(txt)
+    assert robots_blocked("/a/secret", dis, alw)
+    assert not robots_blocked("/a/public/x", dis, alw)  # longer Allow wins
+    assert not robots_blocked("/b/x", dis, alw)
+    # tie → allow wins
+    assert not robots_blocked("/c/", ["/c/"], ["/c/"])
 
-    def fetcher(url):
-        calls.append(url)
+
+def test_parse_robots_specific_user_agent_group():
+    txt = (
+        "User-agent: *\nDisallow: /all/\n\n"
+        "User-agent: newsbot\nDisallow: /nb/\nCrawl-delay: 2\n"
+    )
+    # generic UA gets the * group
+    assert parse_robots_txt(txt) == (["/all/"], [], 0)
+    # a matching specific group supersedes the * group entirely
+    assert parse_robots_txt(txt, "NewsBot/1.0") == (["/nb/"], [], 2000)
+    # non-matching specific UA falls back to *
+    assert parse_robots_txt(txt, "otherbot") == (["/all/"], [], 0)
+
+
+def _rules_of(df):
+    return {
+        r["host"]: (list(r["disallow_prefixes"]), list(r["allow_prefixes"]),
+                    r["crawl_delay_ms"])
+        for r in df.collect()
+    }
+
+
+def test_refresh_robots_df_ttl_and_cache(spark, tmp_path):
+    # the robots fetch leg runs in Spark python workers, so call counting
+    # goes through the filesystem, not a driver-side closure list
+    calldir = tmp_path / "calls"
+    calldir.mkdir()
+
+    def fetcher(url, _calldir=str(calldir)):
+        import os
+        import uuid
+
+        host = url.split("/")[2]
+        open(os.path.join(_calldir, f"{host}-{uuid.uuid4().hex}"), "w").close()
         if "h1" in url:
             return 200, "User-agent: *\nDisallow: /private/\nCrawl-delay: 2", None
         return 404, "", None
 
+    def calls(host):
+        return len(list(calldir.glob(f"{host}-*")))
+
     store = SnapshotStore(str(tmp_path))
+    hosts = spark.createDataFrame([("h1.example",), ("h2.example",)], ["host"])
     t1 = datetime(2026, 1, 1, 0, 0, 0)
-    got = refresh_robots(spark, store, ["h1.example", "h2.example"], fetcher, now=t1)
-    assert got["h1.example"] == (["/private/"], 2000)
-    assert got["h2.example"] == ([], 0)  # 404 → allow-all
-    assert len(calls) == 2
+    got = _rules_of(refresh_robots_df(spark, store, hosts, fetcher, now=t1))
+    assert got["h1.example"] == (["/private/"], [], 2000)
+    assert got["h2.example"] == ([], [], 0)  # 404 → allow-all
+    assert calls("h1.example") == 1 and calls("h2.example") == 1
 
-    # within TTL: cache hit, no refetch
+    # h1 within success TTL: cache hit; h2 was a FAILED fetch → short retry
+    # TTL (1h default) → refetched even though 12h < 24h
     t2 = datetime(2026, 1, 1, 12, 0, 0)
-    got2 = refresh_robots(spark, store, ["h1.example"], fetcher, now=t2, ttl_hours=24)
-    assert got2["h1.example"] == (["/private/"], 2000)
-    assert len(calls) == 2
+    got2 = _rules_of(
+        refresh_robots_df(spark, store, hosts, fetcher, now=t2, ttl_hours=24)
+    )
+    assert got2["h1.example"] == (["/private/"], [], 2000)
+    assert calls("h1.example") == 1
+    assert calls("h2.example") == 2
 
-    # past TTL: refetched
+    # past success TTL: h1 refetched too
     t3 = datetime(2026, 1, 3, 0, 0, 0)
-    refresh_robots(spark, store, ["h1.example"], fetcher, now=t3, ttl_hours=24)
-    assert len(calls) == 3
+    refresh_robots_df(spark, store, hosts, fetcher, now=t3, ttl_hours=24)
+    assert calls("h1.example") == 2
+
+    # robots persistence went through merge_delta: per-commit write volume is
+    # the refreshed hosts only, and read resolves one live row per host
+    tbl = store.read(spark, "robots")
+    assert tbl.count() == 2
+
+
+def test_attach_robots_enforced_in_fetch_stage(spark):
+    """Rules arriving as broadcast-joined columns block rows exactly like the
+    dict path — the scale path end to end."""
+    from german_newspaper_crawler_spark.sources.fetch import fetch_stage
+
+    calls = []
+
+    def fetcher(url):
+        calls.append(url)
+        return 200, "ok", None
+
+    batch = spark.createDataFrame(
+        [
+            ("https://h.example/intern/s", "h.example", 0, 0, 0, "article", "d", "b", ""),
+            ("https://h.example/pub/a", "h.example", 0, 0, 1, "article", "d", "b", ""),
+            ("https://open.example/x", "open.example", 1, 0, 2, "article", "d", "b", ""),
+        ],
+        ["url", "host", "bucket", "priority", "seq", "kind", "domain",
+         "base_url", "anchor_text"],
+    )
+    rules = spark.createDataFrame(
+        [("h.example", ["/intern/"], [], 0)],
+        "host string, disallow_prefixes array<string>, "
+        "allow_prefixes array<string>, crawl_delay_ms int",
+    )
+    out = {
+        r["url"]: r["status"]
+        for r in fetch_stage(attach_robots(batch, rules), fetcher).collect()
+    }
+    assert out["https://h.example/intern/s"] == -403
+    assert out["https://h.example/pub/a"] == 200
+    assert out["https://open.example/x"] == 200  # no rules row → allow-all
+    assert "https://h.example/intern/s" not in calls
 
 
 def test_crawl_uses_robots_table(spark, tmp_path):
