@@ -86,15 +86,31 @@ def banded_hamming_pairs(
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by n-gram Jaccard via inverted-index self-join.
 
     jaccard(A,B) = |A∩B| / (|A|+|B|-|A∩B|); the join on `shingle` computes
     all |A∩B| > 0 pairs in one shuffle — no pair enumeration. Threshold is
     applied to the 6-dp-rounded value (cross-engine boundary agreement).
+
+    ``max_df`` caps shingle document frequency BEFORE the self-join: a
+    stop-shingle shared by k docs would otherwise create a k² join bucket —
+    quadratic skew at web scale. Shingles with df > max_df are dropped from
+    both the intersection and the per-doc sizes (Jaccard over informative
+    shingles — the standard near-dup practice); high-df shingles carry no
+    near-dup signal anyway. At 10^8 docs, max_df ≈ max(1000, 0.001% of N).
     """
     sh = word_shingles(df, id_col, text_col, n)
+    if max_df is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("__df"))
+            .where(F.col("__df") <= max_df)
+            .select("shingle")
+        )
+        sh = sh.join(keep, "shingle")
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col(id_col).alias("a"), "shingle")
     b = sh.select(F.col(id_col).alias("b"), "shingle")

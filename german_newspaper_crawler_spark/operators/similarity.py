@@ -83,6 +83,72 @@ def _hyperplanes(n_tables: int, n_planes: int, dim: int):
     return out
 
 
+def _with_buckets(
+    df: DataFrame, id_col: str, vec_col: str, idname: str, vecname: str,
+    planes,
+) -> DataFrame:
+    """(id, vec) → (id, vec, tbl, bkt) rows, one per LSH table. Bucket signs
+    come from one vectorized pandas UDF (numpy matmul over the Arrow batch)
+    — a whole table's buckets in one gemm."""
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    n_planes = planes.shape[1]
+    pow2 = (1 << np.arange(n_planes)).astype(np.int64)  # (P,)
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def buckets_udf(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        m = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])  # (N, D)
+        sims = np.einsum("nd,tpd->ntp", m, planes)  # (N, T, P)
+        codes = ((sims >= 0) @ pow2).astype(np.int32)  # (N, T)
+        return pd.Series(list(codes))
+
+    d = df.select(
+        F.col(id_col).alias(idname), _as_double(vec_col).alias(vecname)
+    ).withColumn("__bkts", buckets_udf(F.col(vecname)))
+    return d.select(idname, vecname, F.posexplode("__bkts").alias("tbl", "bkt"))
+
+
+def lsh_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.4,
+    n_planes: int = 8,
+    dim: int = 64,
+    n_tables: int = 4,
+) -> DataFrame:
+    """Embedding near-dup pairs, scale path: LSH bucket candidates + exact
+    within-bucket verify — no all-pairs join anywhere in the plan. Candidate
+    pairs come only from colliding (table, bucket) cells (shuffle on short
+    int keys); the exact cosine then runs on that candidate set. Recall is
+    the multi-table LSH guarantee (4 tables × 8 planes here), verified
+    against the brute-force baseline in tests/test_similarity.py.
+
+    Buckets are deterministic (sha256-seeded hyperplanes, :func:`_hyperplanes`),
+    so the result is reproducible and has an exact DuckDB oracle
+    (plans/queries.py dedup_embedding_lsh_pairs)."""
+    planes = _hyperplanes(n_tables, n_planes, dim)
+    b = _with_buckets(df, id_col, vec_col, "id", "v", planes)
+    x = b.select(F.col("id").alias("a"), "tbl", "bkt")
+    y = b.select(F.col("id").alias("b"), "tbl", "bkt")
+    cand = (
+        x.join(y, ["tbl", "bkt"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    e = df.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
+    ea = e.select(F.col("id").alias("a"), F.col("v").alias("va"))
+    eb = e.select(F.col("id").alias("b"), F.col("v").alias("vb"))
+    scored = cand.join(ea, "a").join(eb, "b").withColumn("cos6", _cosine("va", "vb"))
+    return (
+        scored.where(F.col("cos6") >= threshold)
+        .select("a", "b", F.round("cos6", 4).alias("cos_sim"))
+    )
+
+
 def lsh_bucketed_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -95,36 +161,11 @@ def lsh_bucketed_topk(
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane LSH bucketing, exact rerank in
     buckets, best-of-n_tables union. The scale path: corpus shuffles once on
-    (table, bucket); only colliding (query, doc) pairs are scored. Bucket
-    signs are computed by one vectorized pandas UDF (numpy matmul over the
-    Arrow batch) — a whole table's buckets in one gemm.
+    (table, bucket); only colliding (query, doc) pairs are scored.
     """
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql.types import ArrayType, IntegerType
-
     planes = _hyperplanes(n_tables, n_planes, dim)  # (T, P, D)
-    pow2 = (1 << np.arange(n_planes)).astype(np.int64)  # (P,)
-
-    @F.pandas_udf(ArrayType(IntegerType()))
-    def buckets_udf(vecs: pd.Series) -> pd.Series:
-        if len(vecs) == 0:
-            return pd.Series([], dtype=object)
-        m = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])  # (N, D)
-        sims = np.einsum("nd,tpd->ntp", m, planes)  # (N, T, P)
-        codes = ((sims >= 0) @ pow2).astype(np.int32)  # (N, T)
-        return pd.Series(list(codes))
-
-    def with_buckets(df: DataFrame, idname: str, vecname: str) -> DataFrame:
-        d = df.select(
-            F.col(id_col).alias(idname), _as_double(vec_col).alias(vecname)
-        ).withColumn("__bkts", buckets_udf(F.col(vecname)))
-        return d.select(
-            idname, vecname, F.posexplode("__bkts").alias("tbl", "bkt")
-        )
-
-    q = with_buckets(queries, "query_id", "vq")
-    c = with_buckets(corpus, "neighbor_id", "vc")
+    q = _with_buckets(queries, id_col, vec_col, "query_id", "vq", planes)
+    c = _with_buckets(corpus, id_col, vec_col, "neighbor_id", "vc", planes)
 
     cand = (
         q.join(c, ["tbl", "bkt"])
@@ -172,7 +213,7 @@ def ivf_topk(
     sample = (
         corpus.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
         .withColumn("__h", hash64(F.col("id").cast("string")))
-        .orderBy("__h")
+        .orderBy("__h", "id")
         .limit(sample_n)
         .collect()
     )
@@ -189,17 +230,23 @@ def ivf_topk(
                 cents[c] = m / max(np.linalg.norm(m), 1e-12)
     centroids = cents  # (n_lists, dim), unit norm
 
+    # sims are ROUNDED to 6dp before argmax/argsort with lowest-cell
+    # tie-break, so cell assignment is reproducible across engines (the
+    # kmeans_iters=0 variant has an exact DuckDB oracle — queries.py
+    # ann_ivf_topk recomputes the hash-sampled centroids relationally)
     @F.pandas_udf(IntegerType())
     def cell_of(vecs: pd.Series) -> pd.Series:
         m = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
         m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-        return pd.Series((m @ centroids.T).argmax(axis=1).astype("int32"))
+        sims = np.round(m @ centroids.T, 6)
+        return pd.Series(sims.argmax(axis=1).astype("int32"))
 
     @F.pandas_udf(ArrayType(IntegerType()))
     def probe_cells(vecs: pd.Series) -> pd.Series:
         m = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
         m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-        order = np.argsort(-(m @ centroids.T), axis=1)[:, :n_probe].astype("int32")
+        sims = np.round(m @ centroids.T, 6)
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe].astype("int32")
         return pd.Series(list(order))
 
     c = corpus.select(

