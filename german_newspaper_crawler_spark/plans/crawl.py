@@ -8,9 +8,9 @@ ordering guarantees are carried as ``(domain, priority, seq)`` columns; its
 in-memory hash set becomes the ``seen`` table + anti-joins.
 
 Stage map (reference → here):
-  build_article_urls / TAZ.fetch_article_urls  → parse_listing_stage + refill
-  fetch_url loop                               → sources.fetch.fetch_stage
-  parse_article (taz.py:302-365)               → parse_article_stage
+  build_article_urls / TAZ.fetch_article_urls  → fetch_parse_listings_stage
+  fetch_url loop                               → fused into the parse stages
+  parse_article (taz.py:302-365)               → fetch_parse_articles_stage
   hash skip (web_requests.py:182-193)          → seen anti-joins (J1)
   pos_tag_object (pos_tagging.py:169-227)      → enrich_pos_tags (SQL only)
   upsert_article (mongodb.py:83-157)           → store.merge on content_hash
@@ -35,7 +35,7 @@ from german_newspaper_crawler_spark import schemas
 from german_newspaper_crawler_spark.functions import hashing
 from german_newspaper_crawler_spark.functions.urls import href_valid
 from german_newspaper_crawler_spark.operators import frontier as FR
-from german_newspaper_crawler_spark.sources.fetch import Fetcher, fetch_stage
+from german_newspaper_crawler_spark.sources.fetch import Fetcher
 from german_newspaper_crawler_spark.sources.store import SnapshotStore
 
 
@@ -73,6 +73,13 @@ class CrawlConfig:
     # exactly like the reference. Default keeps the documented deviation
     # (global union seen-set; SURVEY §1.4).
     strict_refresh_replace: bool = False
+    # X4 spaCy-shaped enrichment: a Tagger object (operators/enrichment.py)
+    # routes articles through the mapInPandas enrich_stage (per-worker model
+    # cache, chunk packing, mutation-aware hash recompute). None keeps the
+    # pure-SQL whitespace path (JVM-side, identical result — the fast
+    # default; enrich_stage(WhitespaceTagger()) ≡ enrich_pos_tags, asserted
+    # in tests/test_enrichment.py).
+    tagger: object | None = None
 
 
 # --- listing parse (P3 flatmap: 1 listing row → N anchor rows) ---------------
@@ -89,28 +96,6 @@ _ANCHOR_SCHEMA = StructType(
         StructField("status", IntegerType()),
     ]
 )
-
-
-def parse_listing_stage(fetched: DataFrame) -> DataFrame:
-    """Listing HTML → anchor rows with ladder order (taz.py:188-206).
-    Split-stage variant (pre-fetched rows in); the crawl loop uses the fused
-    fetch_parse_listings_stage."""
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from german_newspaper_crawler_spark.parse.html import extract_anchors
-
-        for pdf in batches:
-            rows = []
-            for url, domain, base_url, html, status in zip(
-                pdf["url"], pdf["domain"], pdf["base_url"], pdf["html"], pdf["status"]
-            ):
-                for href, text, rank, pos in extract_anchors(html or ""):
-                    rows.append((url, domain, base_url, href, text, rank, pos, status))
-            yield pd.DataFrame(
-                rows, columns=[f.name for f in _ANCHOR_SCHEMA.fields]
-            )
-
-    return fetched.mapInPandas(run, schema=_ANCHOR_SCHEMA)
 
 
 def refill_from_anchors(
@@ -203,9 +188,9 @@ def fetch_parse_articles_stage(
     """Fused fetch+parse for article rows — ONE mapInPandas, so the html
     payload crosses the Arrow boundary once (JVM sends ~100-byte url rows in,
     gets parsed rows out). This is the stage whose throughput the 100 TB
-    target scales with; the split fetch_stage/parse_article_stage pair moves
-    every page three times and bottlenecks on serialization bandwidth, not
-    CPU. Robots-blocked rows (status -403) are dropped here (never fetched →
+    target scales with; a split fetch→parse stage pair would move every page
+    three times and bottleneck on serialization bandwidth, not CPU.
+    Robots-blocked rows (status -403) are dropped here (never fetched →
     no article row)."""
     from german_newspaper_crawler_spark.sources.fetch import (
         fetch_pandas_batch, stage_input,
@@ -361,35 +346,6 @@ def fetch_images_stage(
     return src.mapInPandas(run, schema=_IMAGE_OUT)
 
 
-def parse_article_stage(fetched: DataFrame) -> DataFrame:
-    """Article HTML → metadata/body/figures (taz.py:19-141,264-365). Failed
-    fetches (html="") still yield rows — the reference upserts them with
-    empty text (web_requests.py:129-150).
-
-    Unfused reference formulation (pre-fetched FETCHED rows in); the crawl
-    loop uses fetch_parse_articles_stage, which is the same logic with the
-    fetch fused in (one Arrow crossing per payload)."""
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from german_newspaper_crawler_spark.parse.html import parse_article
-
-        for pdf in batches:
-            rows = []
-            for r in pdf.itertuples(index=False):
-                d = parse_article(r.url, r.html or "")
-                rows.append(
-                    (
-                        r.url, r.host, r.domain, r.base_url, r.priority, r.seq,
-                        r.status, d["titel"], d["teaser"], d["autor"], d["category"],
-                        d["published_date"], d["html"], d["text"],
-                        d["figures"],
-                    )
-                )
-            yield pd.DataFrame(rows, columns=[f.name for f in _ARTICLE_SCHEMA.fields])
-
-    return fetched.mapInPandas(run, schema=_ARTICLE_SCHEMA)
-
-
 # --- enrichment (X4 whitespace-fallback tagger — pure SQL, no UDF) ------------
 
 def enrich_pos_tags(df: DataFrame, cfg: CrawlConfig) -> DataFrame:
@@ -422,49 +378,6 @@ def enrich_pos_tags(df: DataFrame, cfg: CrawlConfig) -> DataFrame:
         "pos_taggs",
         F.when(skip, F.array().cast(ArrayType(schemas.POS_TAG))).otherwise(tags),
     )
-
-
-# --- image stage (G5/G6) -------------------------------------------------------
-
-def image_stage(fetched_images: DataFrame) -> DataFrame:
-    """Fetched image bytes → IMAGES rows: decode (in-repo codec) + dims +
-    pHash, Arrow-batched. Undecodable rows are dropped to a metric (at scale:
-    quarantine table).
-
-    Unfused reference formulation; the crawl loop uses fetch_images_stage
-    (fetch+decode+phash in one crossing)."""
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from german_newspaper_crawler_spark.functions.codec import decode_image
-        from german_newspaper_crawler_spark.functions.phash import phash64
-
-        for pdf in batches:
-            rows = []
-            for r in pdf.itertuples(index=False):
-                if r.content is None:
-                    continue
-                data = bytes(r.content)
-                try:
-                    rgb = decode_image(data)
-                except (NotImplementedError, ValueError):
-                    continue
-                fmt = "png" if data[:4] == b"\x89PNG"[:4] else "jpeg"
-                rows.append(
-                    (
-                        r.url,  # image_id = source url (stable)
-                        data,
-                        int(rgb.shape[1]),
-                        int(rgb.shape[0]),
-                        fmt,
-                        r.anchor_text or "",
-                        phash64(rgb),
-                    )
-                )
-            yield pd.DataFrame(
-                rows, columns=["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
-            )
-
-    return fetched_images.mapInPandas(run, schema=schemas.IMAGES)
 
 
 # --- seen-set + articles commit -------------------------------------------------
@@ -650,7 +563,17 @@ def run_crawl(
                 blooms=blooms, n_bloom_buckets=cfg.bloom_buckets,
                 scope_col=scope,
             )
-            enriched = enrich_pos_tags(fresh, cfg)
+            if cfg.tagger is not None:
+                from german_newspaper_crawler_spark.operators.enrichment import (
+                    enrich_stage,
+                )
+
+                enriched = enrich_stage(
+                    fresh, cfg.tagger, cap=cfg.pos_tag_cap,
+                    skip_tokens=cfg.pos_tag_skip,
+                )
+            else:
+                enriched = enrich_pos_tags(fresh, cfg)
             # post-tag re-check (web_requests.py:205-211) — whitespace tagger
             # never mutates content_hash; kept as the same anti-join for parity
             sel2 = [F.col("content_hash").alias("h")] + (

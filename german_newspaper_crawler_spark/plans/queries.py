@@ -19,6 +19,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -413,6 +414,76 @@ def o1_o2_sort_truncate_tokens(spark, sf_dir):
         F.array_join(F.array_sort(F.slice("tk", 1, 50)), " ").alias("sorted_head"),
         F.size("tk").cast("long").alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# O3 — chunk packing (pos_tagging.py:49-81 _chunk_text_by_paragraphs)
+# ---------------------------------------------------------------------------
+@register(
+    "o3_chunk_packing",
+    "O3 greedy paragraph packing (pos_tagging.py:49-81): documents are "
+    "re-paragraphed (one paragraph per 10 tokens) then packed into <=60-char "
+    "chunks; over-long paragraphs sliced. Spark runs the real "
+    "chunk_text_by_paragraphs in an Arrow-batched UDF; the DuckDB oracle "
+    "replays the greedy state machine as a recursive CTE.",
+    oracle="""
+    WITH RECURSIVE d AS (
+      SELECT doc_id, regexp_split_to_array(TRIM(text), '\\s+') AS tk
+      FROM documents WHERE TRIM(text) <> ''),
+    paras AS (
+      SELECT doc_id, g + 1 AS idx,
+             array_to_string(tk[g*10+1 : g*10+10], ' ') AS p
+      FROM d, unnest(generate_series(0, CAST((len(tk)-1)//10 AS INT))) AS t(g)),
+    rec AS (
+      SELECT doc_id, idx,
+             CASE WHEN len(p) > 60 THEN 0 ELSE len(p) END AS cur_len,
+             CASE WHEN len(p) > 60 THEN CAST(ceil(len(p)/60.0) AS INT)
+                  ELSE 0 END AS done
+      FROM paras WHERE idx = 1
+      UNION ALL
+      SELECT p.doc_id, p.idx,
+             CASE WHEN len(p.p) > 60 THEN 0
+                  WHEN r.cur_len = 0 THEN len(p.p)
+                  WHEN r.cur_len + 2 + len(p.p) <= 60
+                    THEN r.cur_len + 2 + len(p.p)
+                  ELSE len(p.p) END,
+             r.done + CASE
+               WHEN len(p.p) > 60 THEN
+                 (CASE WHEN r.cur_len > 0 THEN 1 ELSE 0 END)
+                 + CAST(ceil(len(p.p)/60.0) AS INT)
+               WHEN r.cur_len = 0 THEN 0
+               WHEN r.cur_len + 2 + len(p.p) <= 60 THEN 0
+               ELSE 1 END
+      FROM rec r JOIN paras p ON p.doc_id = r.doc_id AND p.idx = r.idx + 1)
+    SELECT doc_id,
+           CAST(done + CASE WHEN cur_len > 0 THEN 1 ELSE 0 END AS BIGINT)
+             AS n_chunks
+    FROM (SELECT doc_id, cur_len, done,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY idx DESC) AS rn
+          FROM rec)
+    WHERE rn = 1
+    """,
+)
+def o3_chunk_packing(spark, sf_dir):
+    from german_newspaper_crawler_spark.functions.text import (
+        chunk_text_by_paragraphs,
+    )
+
+    docs = t(spark, sf_dir, "documents").where(F.trim("text") != "")
+    # one paragraph per 10 tokens (fixture docs are single-paragraph, so the
+    # packing logic needs synthetic boundaries to have anything to pack)
+    repar = F.expr(
+        """array_join(transform(
+             sequence(0, int((size(split(trim(text), '\\\\s+')) - 1) / 10)),
+             g -> array_join(slice(split(trim(text), '\\\\s+'), g*10 + 1, 10), ' ')),
+           '\n\n')"""
+    )
+
+    @F.pandas_udf("long")
+    def nchunks(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda x: len(chunk_text_by_paragraphs(x, 60)))
+
+    return docs.select("doc_id", nchunks(repar).alias("n_chunks"))
 
 
 # ---------------------------------------------------------------------------
@@ -1622,3 +1693,140 @@ def curation_pipeline(spark, sf_dir):
         exact_keep.select("doc_id", "source"), "doc_id", edges
     ).where(F.col("is_keeper"))
     return curated.groupBy("source").agg(F.count("*").cast("long").alias("n_curated"))
+
+
+# ---------------------------------------------------------------------------
+# Legacy ingest normalization (object_model.py:122-187, 290-356)
+# ---------------------------------------------------------------------------
+@register(
+    "legacy_normalize_records",
+    "Legacy-record ingest gauntlet (operators/legacy.py): dirty JSON records "
+    "synthesized deterministically from documents (5 shape variants: "
+    "{token:pos} dict / out-of-order 5-tuples / 4-tuples / bare strings / "
+    "None + ai_summary) → normalized 5-struct pos_taggs, ai_keywords "
+    "coercion, url-from-legacy-id recovery, content-hash fallback, and id "
+    "high-water honoring BOTH _id and the numeric legacy id "
+    "(object_model.py:310-317). The oracle computes the expected outcome of "
+    "each variant directly in SQL.",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, TRIM(text) AS txt,
+             regexp_split_to_array(TRIM(text), '\\s+') AS tk,
+             CAST(doc_id % 5 AS INT) AS v
+      FROM documents
+      WHERE len(regexp_split_to_array(TRIM(text), '\\s+')) >= 3),
+    rec AS (
+      SELECT doc_id, v, txt, tk[1] AS t1, tk[2] AS t2, tk[3] AS t3,
+             CASE WHEN v IN (0, 1, 2) THEN 'https://legacy.example/d' || doc_id
+                  WHEN v = 4 THEN 'https://legacy.example/r' || doc_id
+                  END AS url,
+             CASE WHEN v IN (0, 3) THEN doc_id END AS id_existing,
+             CASE WHEN v = 2 THEN doc_id + 100000 END AS legacy_id
+      FROM base),
+    high AS (
+      SELECT MAX(GREATEST(COALESCE(id_existing, 0), COALESCE(legacy_id, 0)))
+        AS h FROM rec),
+    fresh AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY url) AS rn
+      FROM rec WHERE v IN (1, 2, 4))
+    SELECT
+      'doc-' || r.doc_id AS titel,
+      CAST(COALESCE(r.id_existing, high.h + fresh.rn) AS BIGINT) AS _id,
+      CAST(r.legacy_id AS BIGINT) AS legacy_id,
+      r.url,
+      CASE WHEN r.v = 0 THEN '2024-01-02T03:04:05' END AS pub_s,
+      CASE r.v WHEN 0 THEN 'k1|k2' WHEN 2 THEN 'solo'
+               WHEN 3 THEN 'altes resumee' ELSE '' END AS ai_kw,
+      CASE r.v
+        WHEN 0 THEN '0:' || r.t1 || '_0:::NN|1:' || r.t2 || '_1:::VB'
+        WHEN 1 THEN '0:' || r.t1 || ':l1:g1:P1|1:' || r.t2 || '::g2:P2|2:'
+                    || r.t3 || ':l3:g3:P3'
+        WHEN 2 THEN '0:' || r.t1 || ':l1:g1:P1|1:' || r.t2 || ':l2:g2:P2'
+        WHEN 3 THEN '0:' || r.t1 || ':::|1:' || r.t2 || ':::|2:' || r.t3 || ':::'
+        ELSE '' END AS pos_render,
+      CASE r.v
+        WHEN 0 THEN 'legacyhash-' || r.doc_id
+        WHEN 3 THEN sha256(r.txt)
+        ELSE sha256(r.url) END AS content_hash
+    FROM rec r
+    LEFT JOIN fresh ON fresh.doc_id = r.doc_id
+    CROSS JOIN high
+    """,
+)
+def legacy_normalize_records(spark, sf_dir):
+    import json
+
+    from german_newspaper_crawler_spark.operators.legacy import (
+        normalize_legacy_records,
+    )
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .where(F.size(F.split(F.trim("text"), r"\s+")) >= 3)
+        .select("doc_id", "text")
+    )
+
+    def mk(batches):
+        for pdf in batches:
+            recs = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                tkn = text.strip().split()
+                t1, t2, t3 = tkn[0], tkn[1], tkn[2]
+                v = int(doc_id) % 5
+                rec = {"titel": f"doc-{doc_id}"}
+                if v == 0:
+                    rec.update(
+                        _id=int(doc_id),
+                        url=f"https://legacy.example/d{doc_id}",
+                        published_date="2024-01-02T03:04:05",
+                        ai_keywords=["k1", "k2"],
+                        content_hash=f"legacyhash-{doc_id}",
+                        pos_taggs={f"{t1}_0": "NN", f"{t2}_1": "VB"},
+                    )
+                elif v == 1:
+                    rec.update(
+                        url=f"https://legacy.example/d{doc_id}",
+                        published_date="not-a-date",
+                        pos_taggs=[
+                            [2, t3, "l3", "g3", "P3"],
+                            [0, t1, "l1", "g1", "P1"],
+                            [1, t2, None, "g2", "P2"],
+                        ],
+                    )
+                elif v == 2:
+                    rec.update(
+                        url=f"https://legacy.example/d{doc_id}",
+                        id=str(int(doc_id) + 100000),
+                        ai_keywords="solo",
+                        pos_taggs=[[t1, "l1", "g1", "P1"], [t2, "l2", "g2", "P2"]],
+                    )
+                elif v == 3:
+                    rec.update(
+                        _id=int(doc_id),
+                        id=f"doc-{doc_id}",
+                        text=text,
+                        ai_summary="altes resumee",
+                        pos_taggs=[t1, t2, t3],
+                    )
+                else:
+                    rec.update(
+                        id=f"https://legacy.example/r{doc_id}", pos_taggs=None
+                    )
+                recs.append(json.dumps(rec))
+            yield pd.DataFrame({"record": recs})
+
+    dirty = docs.mapInPandas(mk, "record string")
+    norm = normalize_legacy_records(dirty, order_cols=["url"])
+    return norm.select(
+        "titel",
+        F.col("_id").cast("long").alias("_id"),
+        F.col("legacy_id").cast("long").alias("legacy_id"),
+        "url",
+        F.date_format("published_date", "yyyy-MM-dd'T'HH:mm:ss").alias("pub_s"),
+        F.array_join("ai_keywords", "|").alias("ai_kw"),
+        F.expr(
+            "array_join(transform(pos_taggs, e -> concat_ws(':', "
+            "cast(e.tid as string), e.token, e.lemma, e.tag, e.pos)), '|')"
+        ).alias("pos_render"),
+        "content_hash",
+    )
