@@ -12,7 +12,8 @@ Stage map (reference → here):
   fetch_url loop                               → fused into the parse stages
   parse_article (taz.py:302-365)               → fetch_parse_articles_stage
   hash skip (web_requests.py:182-193)          → seen anti-joins (J1)
-  pos_tag_object (pos_tagging.py:169-227)      → enrich_pos_tags (SQL only)
+  pos_tag_object (pos_tagging.py:169-227)      → enrich_pos_tags (SQL) or
+                                                 operators.enrichment.enrich_stage
   upsert_article (mongodb.py:83-157)           → store.merge on content_hash
   known_hashes.add (web_requests.py:218-219)   → store.append('seen', ...)
 """
@@ -475,9 +476,13 @@ def run_crawl(
     """
     cfg = cfg or CrawlConfig()
     metrics: list[dict] = []
+    from german_newspaper_crawler_spark.observability import RunLogger
+
+    runlog = RunLogger(store, run_id, now=cfg.parsed_ts)
 
     if not store.exists("frontier"):
         store.append("frontier", FR.frontier_from_seeds(seeds, cfg.n_buckets))
+        runlog.info("driver", "frontier_seeded")
     if not store.exists("seen"):
         store.append("seen", spark.createDataFrame([], schemas.SEEN))
 
@@ -709,6 +714,16 @@ def run_crawl(
                 "n_images": n_images,
             }
         )
+        # structured run log (logging.py analog): a few rows per round,
+        # flushed as one small append — never per-URL
+        runlog.info(
+            "round", "round_complete", round_no=rnd,
+            n_fetched=n_fetched, n_articles=n_articles, n_images=n_images,
+        )
+        if n_fetched and not n_articles and not n_images:
+            runlog.warning("round", "no_yield_round", round_no=rnd,
+                           n_fetched=n_fetched)
+        runlog.flush(spark)
         total_fetched += n_fetched
         total_articles += n_articles
         total_images += n_images
@@ -725,6 +740,10 @@ def run_crawl(
             for m in metrics
         ]
         store.append("metrics", spark.createDataFrame(rows, schemas.METRICS))
+    runlog.info("driver", "run_complete", rounds=len(metrics),
+                fetched=total_fetched, articles=total_articles,
+                images=total_images)
+    runlog.flush(spark)
 
     return {
         "rounds": len(metrics),

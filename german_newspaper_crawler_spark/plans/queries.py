@@ -1830,3 +1830,58 @@ def legacy_normalize_records(spark, sf_dir):
         ).alias("pos_render"),
         "content_hash",
     )
+
+
+# ---------------------------------------------------------------------------
+# G6 end-to-end: pHash near-dup clustering → canonical image keepers
+# ---------------------------------------------------------------------------
+@register(
+    "g6x_phash_components_keepers",
+    "Image-payload dedup end-to-end (G6 + components): banded-LSH pHash "
+    "pairs (hamming<=4) → connected components → one canonical keeper per "
+    "near-dup image group (min id — the crawl keeps the first-seen image, "
+    "suppressing the rest). The full replacement for the reference's "
+    "MongoDB image-dedup collection, as one plan.",
+    oracle=f"""
+    WITH RECURSIVE ph AS (
+      SELECT doc_id,
+             xor({hash64_sql("CAST(doc_id // 4 AS VARCHAR)")}, doc_id % 4) AS phash
+      FROM documents),
+    bands AS (
+      SELECT doc_id, phash, b, (phash >> (15 * CAST(b AS INT))) & 32767 AS band_val
+      FROM ph, unnest([0, 1, 2, 3]) AS u(b)),
+    edges AS (
+      SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+      FROM bands a JOIN bands b ON a.b = b.b AND a.band_val = b.band_val
+      WHERE a.doc_id < b.doc_id
+        AND bit_count(xor(a.phash, b.phash)) <= 4),
+    sym AS (SELECT a AS src, b AS dst FROM edges UNION SELECT b, a FROM edges),
+    reach(src, dst) AS (
+      SELECT src, dst FROM sym
+      UNION
+      SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+    comp AS (
+      SELECT src AS id, LEAST(src, MIN(dst)) AS component FROM reach GROUP BY src)
+    SELECT p.doc_id,
+           CAST(COALESCE(comp.component, p.doc_id) AS BIGINT) AS component,
+           (p.doc_id = COALESCE(comp.component, p.doc_id)) AS is_keeper
+    FROM ph p LEFT JOIN comp ON p.doc_id = comp.id
+    """,
+)
+def g6x_phash_components_keepers(spark, sf_dir):
+    from german_newspaper_crawler_spark.operators.components import dedup_keepers
+    from german_newspaper_crawler_spark.operators.dedup import banded_hamming_pairs
+
+    ph = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        hash64(F.floor(F.col("doc_id") / 4).cast("long").cast("string"))
+        .bitwiseXOR(F.col("doc_id") % 4)
+        .alias("phash"),
+    )
+    edges = banded_hamming_pairs(
+        ph, id_col="doc_id", hash_col="phash", n_bands=4, band_bits=15,
+        max_hamming=4,
+    ).select("a", "b")
+    return dedup_keepers(ph.select("doc_id"), "doc_id", edges).select(
+        "doc_id", F.col("component").cast("long").alias("component"), "is_keeper"
+    )

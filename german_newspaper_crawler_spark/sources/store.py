@@ -188,6 +188,27 @@ class SnapshotStore:
             return self.snapshot_id(table)
         return self.overwrite(table, self.read(spark, table), op="compact")
 
+    def prune_live(self, table: str, keep_last: int) -> int:
+        """Retention: DROP the oldest live snapshots, keeping the newest
+        ``keep_last`` (log-rotation / TTL-retention analog — deletes data,
+        unlike :meth:`expire_snapshots`, which only removes unreferenced
+        dirs). Append-only tables only: pruning a merge-delta table would
+        drop base rows the deltas still reference."""
+        m = self._read_manifest(table)
+        if m.get("merge_keys"):
+            raise ValueError(f"prune_live on merge-delta table {table}")
+        if len(m["live"]) <= keep_last:
+            return 0
+        dropped = len(m["live"]) - keep_last
+        m["seq"] += 1
+        m["live"] = m["live"][-keep_last:]
+        m["snapshots"].append(
+            {"id": m["seq"], "dir": m["live"][-1] if m["live"] else "",
+             "op": "prune", "ts": time.time(), "live": list(m["live"])}
+        )
+        self._commit(table, m)
+        return dropped
+
     def expire_snapshots(self, table: str, keep_last: int = 3) -> int:
         """Drop unreferenced snapshot dirs older than the last ``keep_last``
         manifest entries (Iceberg expire_snapshots analog). Time travel stays
