@@ -31,11 +31,16 @@ def connected_components(
     sym = edges.select(F.col(a).alias("src"), F.col(b).alias("dst")).unionByName(
         edges.select(F.col(b).alias("src"), F.col(a).alias("dst"))
     ).distinct()
+    # the edge lineage may be an expensive derivation (shingle join, banded
+    # LSH...) — materialize it ONCE; every iteration re-reads sym
+    sym = sym.localCheckpoint(eager=True)
     labels = (
         sym.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
     )
+    if labels.isEmpty():  # no edges → no non-trivial components
+        return labels
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym.dst == labels.id)

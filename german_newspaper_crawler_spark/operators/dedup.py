@@ -104,13 +104,46 @@ def ngram_jaccard_pairs(
     """
     sh = word_shingles(df, id_col, text_col, n)
     if max_df is not None:
-        keep = (
-            sh.groupBy("shingle")
-            .agg(F.count("*").alias("__df"))
-            .where(F.col("__df") <= max_df)
-            .select("shingle")
+        # single-scan inverted index: ONE shuffle on shingle builds the
+        # bounded posting lists (≤ max_df ids each); the ≤ k²/2 pairs per
+        # list are emitted JVM-side from the sorted array — no second pass
+        # over the documents and no self-join re-derivation of the explode.
+        groups = sh.groupBy("shingle").agg(
+            F.sort_array(F.collect_list(F.col(id_col))).alias("ds")
+        ).where(F.size("ds") <= max_df)
+        sizes = (
+            groups.select(F.explode("ds").alias(id_col))
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_sh"))
         )
-        sh = sh.join(keep, "shingle")
+        pair_structs = F.expr(
+            """flatten(transform(sequence(1, size(ds) - 1),
+                 i -> transform(slice(ds, i + 1, size(ds) - i),
+                   y -> struct(element_at(ds, i) AS a, y AS b))))"""
+        )
+        common = (
+            groups.where(F.size("ds") >= 2)
+            .select(F.explode(pair_structs).alias("p"))
+            .select("p.a", "p.b")
+            .groupBy("a", "b")
+            .agg(F.count("*").alias("c"))
+        )
+        sa = sizes.select(F.col(id_col).alias("a"), F.col("n_sh").alias("na"))
+        sb = sizes.select(F.col(id_col).alias("b"), F.col("n_sh").alias("nb"))
+        jac = F.round(
+            F.col("c").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("c")).cast("double"),
+            6,
+        )
+        return (
+            common.join(sa, "a")
+            .join(sb, "b")
+            .withColumn("jaccard", jac)
+            .where(F.col("jaccard") >= threshold)
+            .select("a", "b", "jaccard")
+        )
+    # uncapped path: classic inverted-index self-join — per-group memory
+    # stays O(1) even for degenerate mega-postings (but set max_df at scale)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col(id_col).alias("a"), "shingle")
     b = sh.select(F.col(id_col).alias("b"), "shingle")
