@@ -126,3 +126,77 @@ def streaming_sessionize(events: DataFrame, gap_s: int = 1800) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+PHASH_OUT = "a bigint, b bigint, hamming integer"
+PHASH_STATE = "ids array<bigint>, hashes array<bigint>"
+
+
+def streaming_phash_neardup(
+    images: DataFrame, n_bands: int = 4, band_bits: int = 15,
+    max_hamming: int = 4,
+) -> DataFrame:
+    """Streaming twin of G6 (operators/dedup.py::banded_hamming_pairs): as
+    image rows ``(id, phash)`` arrive, near-duplicate pairs are emitted the
+    moment the LATER image lands — the live form of the crawl's pHash
+    suppression, replacing the reference's MongoDB image-dedup collection
+    for continuously-running deployments.
+
+    Shape: each image fans out to its ``n_bands`` LSH band keys; state is
+    keyed by ``(band, band_val)`` and holds that bucket's posting list of
+    (id, phash) in the state store (RocksDB provider at 10^10 scale —
+    bucket width is bounded by the band's selectivity exactly like the
+    batch join's). A new arrival compares only against its colliding
+    buckets, never the whole history. A pair colliding in several bands is
+    emitted once per band — dedupe downstream with
+    ``dropDuplicates(["a", "b"])`` (cheap exact-key streaming state).
+
+    Determinism: within a micro-batch rows are processed in id order, and
+    pairs are emitted as (min id, max id), so the accumulated output equals
+    the batch ``banded_hamming_pairs`` result regardless of chunking or
+    restarts (asserted in tests/test_streaming.py).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    mask = (1 << band_bits) - 1
+    parts = None
+    for bidx in range(n_bands):
+        p = images.select(
+            "id", "phash",
+            F.lit(bidx).alias("band"),
+            F.shiftright("phash", band_bits * bidx).bitwiseAND(F.lit(mask))
+            .alias("band_val"),
+        )
+        parts = p if parts is None else parts.unionByName(p)
+
+    u64 = (1 << 64) - 1
+
+    def match(key, pdfs, state):
+        if state.exists:
+            ids, hashes = state.get
+            ids, hashes = list(ids), list(hashes)
+        else:
+            ids, hashes = [], []
+        out = []
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            for r in pdf.sort_values("id").itertuples(index=False):
+                ph = int(r.phash)
+                for sid, sph in zip(ids, hashes):
+                    hc = ((sph ^ ph) & u64).bit_count()
+                    if hc <= max_hamming:
+                        out.append((min(sid, r.id), max(sid, r.id), hc))
+                ids.append(int(r.id))
+                hashes.append(ph)
+        state.update((ids, hashes))
+        yield pd.DataFrame(out, columns=["a", "b", "hamming"])
+
+    return parts.groupBy("band", "band_val").applyInPandasWithState(
+        match,
+        outputStructType=PHASH_OUT,
+        stateStructType=PHASH_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

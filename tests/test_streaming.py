@@ -120,3 +120,49 @@ def test_stateful_sessionize_across_restarts(spark, tmp_path):
     assert got[(1, 3)] == 1  # continues the session from the PREVIOUS run
     assert got[(1, 4)] == 2  # > gap → new session
     assert got[(2, 10)] == got[(2, 11)] == 1
+
+
+def test_streaming_phash_neardup_matches_batch_across_restarts(spark, tmp_path):
+    """Streaming banded pHash near-dup: two availableNow runs (restart in
+    between) over chunked arrivals accumulate EXACTLY the batch
+    banded_hamming_pairs result — state (bucket posting lists) survives."""
+    from pyspark.sql import functions as F
+
+    from german_newspaper_crawler_spark.functions.hashing import hash64
+    from german_newspaper_crawler_spark.operators.dedup import banded_hamming_pairs
+    from german_newspaper_crawler_spark.streaming.incremental import (
+        run_available_now, streaming_phash_neardup,
+    )
+
+    # the g6 synthetic phash layout: groups of 4 consecutive ids share a
+    # base hash, differing in the low 2 bits → true near-dups exist
+    def ph_df(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id"),
+            hash64(F.floor(F.col("id") / 4).cast("long").cast("string"))
+            .bitwiseXOR(F.col("id") % 4)
+            .alias("phash"),
+        )
+
+    expected = {
+        (r["a"], r["b"], r["hamming"])
+        for r in banded_hamming_pairs(
+            ph_df(0, 64), id_col="id", hash_col="phash",
+            n_bands=4, band_bits=15, max_hamming=4,
+        ).withColumn("hamming", F.col("hamming").cast("int")).collect()
+    }
+    assert expected  # the synthetic layout must actually produce near-dups
+
+    src, out, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    ph_df(0, 40).coalesce(1).write.mode("append").parquet(src)
+    schema = "id bigint, phash bigint"
+    stream = streaming_phash_neardup(spark.readStream.schema(schema).parquet(src))
+    run_available_now(stream, ckpt, out)
+
+    ph_df(40, 64).coalesce(1).write.mode("append").parquet(src)  # second chunk
+    stream = streaming_phash_neardup(spark.readStream.schema(schema).parquet(src))
+    run_available_now(stream, ckpt, out)
+
+    got_rows = spark.read.parquet(out).dropDuplicates(["a", "b"]).collect()
+    got = {(r["a"], r["b"], r["hamming"]) for r in got_rows}
+    assert got == expected
