@@ -90,8 +90,23 @@ class SnapshotStore:
         op_of = {s["dir"]: s["op"] for s in m["snapshots"]}
         delta_dirs = [d for d in live if op_of.get(d) == "merge-delta"]
         base_dirs = [d for d in live if op_of.get(d) != "merge-delta"]
+
+        def read_dirs(dirs: list[str]) -> DataFrame:
+            paths = [os.path.join(tdir, d) for d in dirs]
+            if not m.get("partition_spec"):
+                return spark.read.parquet(*paths)
+            # hive-partitioned snapshots: each snapshot dir is its own
+            # partition root — read separately and union (Spark refuses
+            # multi-root partition discovery); per-scan partition pruning
+            # is preserved, compaction keeps the union short
+            out = None
+            for p in paths:
+                part = spark.read.option("basePath", p).parquet(p)
+                out = part if out is None else out.unionByName(part)
+            return out
+
         if not keys or not delta_dirs:
-            return spark.read.parquet(*[os.path.join(tdir, d) for d in live])
+            return read_dirs(live)
 
         from pyspark.sql import Window, functions as F
 
@@ -109,13 +124,34 @@ class SnapshotStore:
         )
         if not base_dirs:
             return latest
-        base = spark.read.parquet(*[os.path.join(tdir, d) for d in base_dirs])
+        base = read_dirs(base_dirs)
         return base.join(latest.select(*keys), keys, "left_anti").unionByName(latest)
+
+    def set_partition_spec(self, table: str, cols: list[str],
+                           sort_cols: list[str] | None = None) -> None:
+        """K2 index maintenance (``ensure_indexes_for_collections``,
+        ``mongodb.py:160-177``) as its Iceberg-shaped analog: a declarative
+        table spec — hive-partition columns (→ partition pruning on reads)
+        plus an optional within-file sort order (→ tighter parquet min/max
+        column metrics, the row-group-skipping "index"). Applied to every
+        subsequent snapshot write; :meth:`compact` rewrites the whole live
+        set under the current spec (rewrite_data_files analog)."""
+        m = self._read_manifest(table)
+        m["partition_spec"] = {"cols": cols, "sort_cols": sort_cols or []}
+        os.makedirs(self._tdir(table), exist_ok=True)
+        self._commit(table, m)
 
     def _write_snapshot(self, table: str, df: DataFrame) -> str:
         m = self._read_manifest(table)
         snap = f"snap-{m['seq'] + 1:06d}-{uuid.uuid4().hex[:8]}"
-        df.write.mode("errorifexists").parquet(os.path.join(self._tdir(table), snap))
+        spec = m.get("partition_spec")
+        writer = df
+        if spec and spec.get("sort_cols"):
+            writer = writer.sortWithinPartitions(*spec["sort_cols"])
+        w = writer.write.mode("errorifexists")
+        if spec and spec.get("cols"):
+            w = w.partitionBy(*spec["cols"])
+        w.parquet(os.path.join(self._tdir(table), snap))
         return snap
 
     def append(self, table: str, df: DataFrame, op: str = "append") -> int:

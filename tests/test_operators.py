@@ -115,3 +115,38 @@ def test_store_merge_delta_write_volume_and_resolution(spark, tmp_path):
     assert len(store._read_manifest("t")["live"]) == 1
     got3 = {r["k"]: r["v"] for r in store.read(spark, "t").where("k in (5, 2000)").collect()}
     assert got3 == {5: "failed", 2000: "pending"}
+
+
+def test_store_partition_spec_prunes_scans(spark, tmp_path):
+    """K2 index maintenance (mongodb.py:160-177 → Iceberg-shaped spec):
+    set_partition_spec makes every snapshot hive-partitioned + sorted;
+    filtered reads prune partitions in the physical plan, and the spec
+    survives append/merge_delta/compact round trips."""
+    store = SnapshotStore(str(tmp_path / "ps"))
+    store.set_partition_spec("t", ["bucket"], sort_cols=["url"])
+    store.append("t", spark.range(800).selectExpr(
+        "id % 8 AS bucket", "concat('u', id) AS url", "'pending' AS state"))
+    store.append("t", spark.range(800, 1600).selectExpr(
+        "id % 8 AS bucket", "concat('u', id) AS url", "'pending' AS state"))
+
+    flt = store.read(spark, "t").where("bucket = 3")
+    assert flt.count() == 200
+    plan = flt._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    pf = re.findall(r"PartitionFilters: \[[^\]]*bucket[^\]]*\]", plan)
+    assert len(pf) >= 2, plan  # both snapshot scans prune on bucket
+
+    # keyed delta over a partitioned table still resolves last-wins
+    store.merge_delta("t", spark.createDataFrame(
+        [(3, "u3", "fetched")], "bucket long, url string, state string"
+    ), keys=["url"])
+    got = {r["url"]: r["state"] for r in store.read(spark, "t").where("bucket = 3").collect()}
+    assert got["u3"] == "fetched" and len(got) == 200
+
+    # compact folds everything into ONE partitioned snapshot; pruning intact
+    store.compact(spark, "t")
+    flt2 = store.read(spark, "t").where("bucket = 3")
+    assert flt2.count() == 200
+    plan2 = flt2._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[[^\]]*bucket", plan2), plan2
