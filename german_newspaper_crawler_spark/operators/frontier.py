@@ -54,17 +54,39 @@ def frontier_from_seeds(seeds: DataFrame, n_buckets: int) -> DataFrame:
     )
 
 
-def pop_batch(frontier: DataFrame, per_host_budget: int | None = None) -> DataFrame:
+def pop_batch(
+    frontier: DataFrame, per_host_budget: int | None = None,
+    skew_salt: int = 16,
+) -> DataFrame:
     """Select the next fetch batch: pending rows ranked by the explicit
     order key within each host; optional per-host budget (O4 + G3/G4).
 
     per_host_budget=None reproduces the reference exactly (consume the whole
     ordered list); a budget bounds per-round host skew at scale.
+
+    Mega-host skew-splitting (the north rule's spiegel/bild/faz case,
+    SURVEY §7.3): a naive per-host rank window puts a 10^6-row host's whole
+    pending set in ONE window partition. With a budget, the top-k runs in
+    two exact phases: (1) rank within the SALTED key ``(host,
+    pmod(hash64(url), skew_salt))`` and keep ≤ budget per cell — any row in
+    the global per-host top-budget is necessarily in its cell's top-budget,
+    so no candidate is lost; (2) the exact (priority, seq, url) rank within
+    host over the ≤ budget·skew_salt survivors. Identical result, fattest
+    window partition cut by the salt factor.
     """
     pending = frontier.where(F.col("state") == "pending")
     if per_host_budget is None:
         return pending
-    w = Window.partitionBy("host").orderBy("priority", "seq", "url")
+    order = [F.col("priority"), F.col("seq"), F.col("url")]
+    if skew_salt and skew_salt > 1:
+        salt = F.pmod(hash64(F.col("url")), F.lit(skew_salt)).cast("int")
+        w1 = Window.partitionBy(F.col("host"), salt).orderBy(*order)
+        pending = (
+            pending.withColumn("__rk1", F.row_number().over(w1))
+            .where(F.col("__rk1") <= per_host_budget)
+            .drop("__rk1")
+        )
+    w = Window.partitionBy("host").orderBy(*order)
     return (
         pending.withColumn("__rk", F.row_number().over(w))
         .where(F.col("__rk") <= per_host_budget)

@@ -150,3 +150,35 @@ def test_store_partition_spec_prunes_scans(spark, tmp_path):
     assert flt2.count() == 200
     plan2 = flt2._jdf.queryExecution().executedPlan().toString()
     assert re.search(r"PartitionFilters: \[[^\]]*bucket", plan2), plan2
+
+
+def test_pop_batch_salted_topk_exact(spark):
+    """Mega-host skew-splitting: the salted two-phase top-k returns the
+    IDENTICAL batch as the single-window form, while the first window
+    partitions on (host, salt) — the fattest partition shrinks ×salt."""
+    from german_newspaper_crawler_spark.operators.frontier import pop_batch
+
+    rows = spark.range(50_000).selectExpr(
+        "concat('https://mega.example/a', id) AS url",
+        "'mega.example' AS host",
+        "0 AS bucket",
+        "CAST(id % 7 AS INT) AS priority",
+        "id AS seq",
+        "'article' AS kind",
+        "'pending' AS state",
+    ).unionByName(spark.range(10).selectExpr(
+        "concat('https://small.example/b', id) AS url",
+        "'small.example' AS host",
+        "1 AS bucket",
+        "0 AS priority",
+        "id AS seq",
+        "'article' AS kind",
+        "'pending' AS state",
+    ))
+    plain = {r["url"] for r in pop_batch(rows, 25, skew_salt=0).collect()}
+    salted = {r["url"] for r in pop_batch(rows, 25, skew_salt=16).collect()}
+    assert salted == plain
+    assert len([u for u in salted if "mega" in u]) == 25
+    assert len([u for u in salted if "small" in u]) == 10
+    plan = pop_batch(rows, 25, skew_salt=16)._jdf.queryExecution().executedPlan().toString()
+    assert "pmod" in plan and plan.count("WindowGroupLimit") >= 2, plan
