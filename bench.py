@@ -206,6 +206,18 @@ def main():
 
     from german_newspaper_crawler_spark.plans.queries import REGISTRY
 
+    # warmup (untimed): spawn+warm the python workers, JIT the codegen
+    # paths, and prime the parquet footer/metadata caches — the same
+    # steady-state policy crawl_stage_bench documents (on a real cluster
+    # executors are long-lived and always warm). Without this the FIRST
+    # timed query absorbs ~3 s of one-time session cost.
+    def _warm(batches):
+        yield from batches
+
+    for tbl in ("orders", "lineitem", "documents", "events", "embeddings"):
+        spark.read.parquet(f"{sf_dir}/{tbl}.parquet").count()
+    force(spark.range(1024).repartition(max(cpus, 8)).mapInPandas(_warm, "id long"))
+
     times: dict[str, float] = {}
     total = 0.0
     for name, spec in REGISTRY.items():
