@@ -165,3 +165,70 @@ def bloom_prefilter(
             test(F.col(hash_col), F.col("blob"), F.col("k"), F.col("m"))
         ),
     ).drop("blob", "k", "m", "n_items", "__bucket")
+
+
+def capacity_of(m: int, fpr: float) -> int:
+    """Inverse of :func:`params_for`: the item count an m-bit filter was
+    sized for at the target FPR."""
+    return max(1, int(m * (math.log(2) ** 2) / -math.log(fpr)))
+
+
+def ensure_blooms(
+    spark,
+    store,
+    seen: DataFrame,
+    hash_col: str = "content_hash",
+    n_buckets: int = 16,
+    fpr: float = 0.01,
+) -> DataFrame | None:
+    """Persistent incremental Bloom maintenance (G1 at the 10^10 regime).
+
+    The naive form rebuilds the filter from the FULL seen set every crawl
+    round — a full-table scan per round, which is exactly the cost the
+    filter exists to avoid. Instead the blobs live in the store's ``blooms``
+    table: per-round additions are committed as same-(m,k) delta blobs over
+    only the NEW hashes (:func:`update_blooms`, write ∝ batch), OR-merged at
+    read time (merge is associative/commutative, so incremental == full
+    rebuild bit-for-bit — property-tested). A full rebuild happens only when
+    the accumulated item count outgrows the capacity the current ``m`` was
+    sized for (then at 2× headroom) — amortized O(1) scans, like a growing
+    hash table.
+
+    Returns the merged per-bucket blobs, or None when there is nothing yet.
+    """
+    from german_newspaper_crawler_spark.functions.hashing import hash64
+
+    bucket = F.pmod(hash64(hash_col), F.lit(n_buckets)).cast("int")
+    existing = store.read(spark, "blooms", BLOOM_SCHEMA) if store.exists("blooms") else None
+    if existing is not None:
+        head = existing.select("m", "k").first()
+        total = existing.agg(F.sum("n_items").alias("t")).first()["t"] or 0
+        if total <= capacity_of(int(head["m"]), fpr):
+            return merge_bloom_tables(existing)
+    # (re)build from the full seen set, sized with 2x headroom
+    n_seen = seen.count()
+    if not n_seen:
+        return None
+    m, k = params_for(max(2 * n_seen, 4096), fpr)
+    blobs = build_bloom(seen, hash_col, bucket, m, k)
+    store.overwrite("blooms", blobs, op="bloom-rebuild")
+    return merge_bloom_tables(store.read(spark, "blooms"))
+
+
+def update_blooms(
+    spark,
+    store,
+    new_hashes: DataFrame,
+    hash_col: str = "content_hash",
+    n_buckets: int = 16,
+) -> None:
+    """Append same-(m,k) delta blobs for this round's NEW hashes — write and
+    scan ∝ batch size. No-op until :func:`ensure_blooms` has built a base."""
+    from german_newspaper_crawler_spark.functions.hashing import hash64
+
+    if not store.exists("blooms"):
+        return
+    head = store.read(spark, "blooms").select("m", "k").first()
+    bucket = F.pmod(hash64(hash_col), F.lit(n_buckets)).cast("int")
+    delta = build_bloom(new_hashes, hash_col, bucket, int(head["m"]), int(head["k"]))
+    store.append("blooms", delta, op="bloom-delta")

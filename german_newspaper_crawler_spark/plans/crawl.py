@@ -546,19 +546,17 @@ def run_crawl(
             status_parts.append(parsed.select("url", "status"))
             blooms = None
             if cfg.use_bloom:
-                from german_newspaper_crawler_spark.functions.hashing import hash64
                 from german_newspaper_crawler_spark.operators.bloom import (
-                    build_bloom, params_for,
+                    ensure_blooms,
                 )
 
-                n_seen = seen.count()
-                if n_seen:
-                    m, k = params_for(n_seen, cfg.bloom_fpr)
-                    blooms = build_bloom(
-                        seen, "content_hash",
-                        F.pmod(hash64("content_hash"), F.lit(cfg.bloom_buckets)).cast("int"),
-                        m, k,
-                    )
+                # persistent incremental maintenance: per-round cost ∝ new
+                # hashes (delta blobs OR-merge), full seen rescans only on
+                # amortized capacity doublings — never per round (G1)
+                blooms = ensure_blooms(
+                    spark, store, seen, n_buckets=cfg.bloom_buckets,
+                    fpr=cfg.bloom_fpr,
+                )
             # robots-blocked rows were never fetched → no article row;
             # failures (status 0/4xx/5xx) DO upsert with empty html
             # (web_requests.py:129-150)
@@ -610,13 +608,19 @@ def run_crawl(
             n_articles = articles_out.count()
             if n_articles:
                 store.merge(spark, "articles", articles_out, keys=["content_hash"])
-                store.append(
-                    "seen",
-                    articles_out.select(
-                        "content_hash", "domain",
-                        F.lit(parsed_ts).alias("added_at"),
-                    ).where(F.col("content_hash").isNotNull()),
-                )
+                new_seen = articles_out.select(
+                    "content_hash", "domain",
+                    F.lit(parsed_ts).alias("added_at"),
+                ).where(F.col("content_hash").isNotNull())
+                store.append("seen", new_seen)
+                if cfg.use_bloom:
+                    from german_newspaper_crawler_spark.operators.bloom import (
+                        update_blooms,
+                    )
+
+                    update_blooms(
+                        spark, store, new_seen, n_buckets=cfg.bloom_buckets
+                    )
             # 3) figures → image frontier rows (resolved against article url)
             if cfg.extract_images:
                 figs = (
