@@ -223,12 +223,19 @@ def update_blooms(
     n_buckets: int = 16,
 ) -> None:
     """Append same-(m,k) delta blobs for this round's NEW hashes — write and
-    scan ∝ batch size. No-op until :func:`ensure_blooms` has built a base."""
+    scan ∝ batch size. Bootstraps the base filter from the first batch when
+    the table doesn't exist yet (sized with generous headroom;
+    :func:`ensure_blooms` re-sizes on overflow later)."""
     from german_newspaper_crawler_spark.functions.hashing import hash64
 
+    bucket = F.pmod(hash64(hash_col), F.lit(n_buckets)).cast("int")
     if not store.exists("blooms"):
+        m, k = params_for(max(16 * new_hashes.count(), 4096), fpr=0.01)
+        store.append(
+            "blooms", build_bloom(new_hashes, hash_col, bucket, m, k),
+            op="bloom-rebuild",
+        )
         return
     head = store.read(spark, "blooms").select("m", "k").first()
-    bucket = F.pmod(hash64(hash_col), F.lit(n_buckets)).cast("int")
     delta = build_bloom(new_hashes, hash_col, bucket, int(head["m"]), int(head["k"]))
     store.append("blooms", delta, op="bloom-delta")

@@ -321,3 +321,55 @@ def test_frontier_writes_are_batch_sized_deltas(spark, tmp_path):
         for s in m["snapshots"]
     ]
     assert sum(all_rows) <= 2 * total
+
+
+def test_full_feature_matrix_crawl_matches_plain(spark, tmp_path):
+    """Cross-feature integration: robots table (merge-delta) + persistent
+    incremental Bloom + mapInPandas tagger stage + per-round frontier
+    compaction + resume across two run_crawl invocations — the article and
+    image sets must be IDENTICAL to a plain featureless single run (the
+    accelerators and persistence strategies must never change results)."""
+    from german_newspaper_crawler_spark.operators.enrichment import WhitespaceTagger
+
+    seeds, pages, blobs, _ = make_fixtures(n_hosts=2, articles_per_host=5)
+    for s in seeds:
+        pages[f"https://{s['host']}/robots.txt"] = (200, "User-agent: *\nDisallow: /intern/")
+    seeds_df = spark.createDataFrame(
+        [(s["domain"], s["base_url"], s["host"], s["collection"]) for s in seeds],
+        ["domain", "base_url", "host", "collection"],
+    )
+
+    def result_of(store):
+        arts = {
+            (r["url"], r["content_hash"], r["titel"],
+             tuple((t["tid"], t["token"]) for t in r["pos_taggs"]))
+            for r in store.read(spark, "articles").collect()
+        }
+        imgs = {r["phash"] for r in store.read(spark, "images").collect()}
+        return arts, imgs
+
+    plain_store = SnapshotStore(str(tmp_path / "plain"))
+    run_crawl(
+        spark, plain_store, seeds_df, table_fetcher(pages, blobs),
+        cfg=CrawlConfig(n_buckets=8, max_rounds=4, parsed_ts=PARSED_TS),
+    )
+    plain = result_of(plain_store)
+
+    full_store = SnapshotStore(str(tmp_path / "full"))
+    cfg_full = CrawlConfig(
+        n_buckets=8, max_rounds=2, parsed_ts=PARSED_TS,
+        use_robots_table=True, use_bloom=True, bloom_buckets=4,
+        compact_every=1, tagger=WhitespaceTagger(), fetch_concurrency=4,
+    )
+    run_crawl(spark, full_store, seeds_df, table_fetcher(pages, blobs), cfg=cfg_full)
+    # resume in a FRESH store handle (checkpoint semantics), finish the crawl
+    cfg_more = CrawlConfig(**{**cfg_full.__dict__, "max_rounds": 4})
+    run_crawl(
+        spark, SnapshotStore(str(tmp_path / "full")), seeds_df,
+        table_fetcher(pages, blobs), cfg=cfg_more, run_id="run-1",
+    )
+    assert result_of(full_store) == plain
+    # the feature tables really engaged
+    assert full_store.exists("robots") and full_store.exists("blooms")
+    ops = [s["op"] for s in full_store._read_manifest("frontier")["snapshots"]]
+    assert "merge-delta" in ops and "compact" in ops and "overwrite" not in ops
