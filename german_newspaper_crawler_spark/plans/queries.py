@@ -1596,31 +1596,12 @@ def mm_video_frame_sample(spark, sf_dir):
     """,
 )
 def text_winnowing_fingerprints(spark, sf_dir):
-    from german_newspaper_crawler_spark.functions.text import ws_normalize
+    from german_newspaper_crawler_spark.operators.fingerprint import (
+        winnowing_fingerprints,
+    )
 
-    k, w = 8, 5
-    nt = (
-        t(spark, sf_dir, "documents")
-        .where((F.col("doc_id") < 100) & (F.length(F.trim("text")) >= k + w - 1))
-        .select("doc_id", F.lower(ws_normalize("text")).alias("s"))
-    )
-    pos = nt.select(
-        "doc_id", "s",
-        F.explode(F.sequence(F.lit(1), F.length("s") - (k - 1))).alias("i"),
-    )
-    kg = pos.select("doc_id", "i", hash64(F.expr(f"substr(s, i, {k})")).alias("h"))
-    win = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, w - 1)
-    cnt = Window.partitionBy("doc_id")
-    wins = kg.select(
-        "doc_id", "i",
-        F.min("h").over(win).alias("wmin"),
-        F.count("*").over(cnt).alias("n"),
-    )
-    return (
-        wins.where(F.col("i") <= F.col("n") - (w - 1))
-        .select("doc_id", F.col("wmin").alias("fingerprint"))
-        .distinct()
-    )
+    docs = t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    return winnowing_fingerprints(docs, id_col="doc_id", text_col="text", k=8, w=5)
 
 
 @register(
@@ -1885,3 +1866,47 @@ def g6x_phash_components_keepers(spark, sf_dir):
     return dedup_keepers(ph.select("doc_id"), "doc_id", edges).select(
         "doc_id", F.col("component").cast("long").alias("component"), "is_keeper"
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (training-data hygiene op)
+# ---------------------------------------------------------------------------
+@register(
+    "decontaminate_against_benchmark",
+    "Eval-set decontamination (operators/fingerprint.py::decontaminate): "
+    "flag corpus docs sharing ANY winnowing fingerprint (k=16, w=5 → every "
+    "exact >=20-char normalized overlap caught) with the benchmark split "
+    "(doc_id % 97 == 0). Corpus side semi-joins the broadcast-sized "
+    "benchmark fingerprint set.",
+    oracle=f"""
+    WITH nt AS (
+      SELECT doc_id, (doc_id % 97 = 0) AS is_bench,
+             lower(TRIM(regexp_replace(text, '\\s+', ' ', 'g'))) AS s
+      FROM documents WHERE length(TRIM(text)) >= 20),
+    pos AS (SELECT doc_id, is_bench, s,
+                   unnest(generate_series(1, length(s) - 15)) AS i FROM nt),
+    kg AS (SELECT doc_id, is_bench, i,
+                  {hash64_sql("substr(s, CAST(i AS INT), 16)")} AS h FROM pos),
+    wins AS (
+      SELECT doc_id, is_bench, i,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS wmin,
+             COUNT(*) OVER (PARTITION BY doc_id) AS n
+      FROM kg),
+    fp AS (SELECT DISTINCT doc_id, is_bench, wmin FROM wins WHERE i <= n - 4),
+    bench_fp AS (SELECT DISTINCT wmin FROM fp WHERE is_bench),
+    hits AS (
+      SELECT DISTINCT f.doc_id FROM fp f JOIN bench_fp b USING (wmin)
+      WHERE NOT f.is_bench)
+    SELECT d.doc_id, COALESCE(h.doc_id IS NOT NULL, FALSE) AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+    LEFT JOIN hits h ON h.doc_id = d.doc_id
+    """,
+)
+def decontaminate_against_benchmark(spark, sf_dir):
+    from german_newspaper_crawler_spark.operators.fingerprint import decontaminate
+
+    docs = t(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    return decontaminate(corpus, bench, id_col="doc_id", text_col="text", k=16, w=5)
