@@ -13,15 +13,17 @@ TTL policy: a successful (HTTP 200) fetch is cached for ``ttl_hours``; a
 failed / non-200 fetch is cached allow-all for only ``fail_ttl_hours`` so a
 transient error can't lock in unrestricted crawling of a host for a day.
 
-Parsing implements the de-facto standard subset: ``User-agent`` group
-selection (most-specific matching token wins, ``*`` as fallback),
-``Disallow:`` AND ``Allow:`` prefixes with longest-prefix-wins resolution
-(tie → allow), and ``Crawl-delay:`` seconds. Not implemented: ``$``/``*``
-wildcards in paths and ``Sitemap:`` directives.
+Parsing implements the de-facto standard (Google robots spec subset):
+``User-agent`` group selection (most-specific matching token wins, ``*`` as
+fallback), ``Disallow:``/``Allow:`` rules with ``*`` wildcards and ``$``
+end-anchors, longest-pattern-wins resolution (tie → allow), and
+``Crawl-delay:`` seconds. Not implemented: ``Sitemap:`` directives.
 """
 
 from __future__ import annotations
 
+import functools
+import re
 from datetime import datetime, timedelta
 
 import pandas as pd
@@ -94,12 +96,29 @@ def parse_robots_txt(
     return disallow, allow, delay_ms
 
 
+@functools.lru_cache(maxsize=4096)
+def _rule_regex(pattern: str):
+    anchored = pattern.endswith("$")
+    body = pattern[:-1] if anchored else pattern
+    rx = ".*".join(re.escape(seg) for seg in body.split("*"))
+    return re.compile("^" + rx + ("$" if anchored else ""))
+
+
+def _rule_matches(path: str, pattern: str) -> bool:
+    if "*" not in pattern and not pattern.endswith("$"):
+        return path.startswith(pattern)  # fast path: plain prefix rule
+    return _rule_regex(pattern).match(path) is not None
+
+
 def robots_blocked(path: str, disallow: list[str], allow: list[str]) -> bool:
-    """Longest-prefix-wins Allow/Disallow resolution (tie → allow)."""
-    m_dis = max((len(p) for p in disallow if path.startswith(p)), default=-1)
+    """Google-spec rule resolution: the most specific (longest-pattern)
+    matching rule wins, tie → allow. Patterns support ``*`` wildcards and
+    ``$`` end-anchors; compiled forms are lru-cached (the fetch hot loop
+    calls this per URL)."""
+    m_dis = max((len(p) for p in disallow if _rule_matches(path, p)), default=-1)
     if m_dis < 0:
         return False
-    m_alw = max((len(p) for p in allow if path.startswith(p)), default=-1)
+    m_alw = max((len(p) for p in allow if _rule_matches(path, p)), default=-1)
     return m_dis > m_alw
 
 

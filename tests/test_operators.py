@@ -182,3 +182,29 @@ def test_pop_batch_salted_topk_exact(spark):
     assert len([u for u in salted if "small" in u]) == 10
     plan = pop_batch(rows, 25, skew_salt=16)._jdf.queryExecution().executedPlan().toString()
     assert "pmod" in plan and plan.count("WindowGroupLimit") >= 2, plan
+
+
+def test_store_crash_between_write_and_commit_is_invisible(spark, tmp_path):
+    """Atomicity: a task/driver crash AFTER data files are written but
+    BEFORE the manifest swap leaves an orphan snapshot dir that readers
+    never see; re-running the append converges without duplicates (the
+    Iceberg commit-protocol property the resume story rests on)."""
+    store = SnapshotStore(str(tmp_path / "cr"))
+    store.append("t", spark.createDataFrame([(1, "a")], ["k", "v"]))
+
+    # simulate the crash: snapshot written, manifest never swapped
+    orphan = store._write_snapshot("t", spark.createDataFrame([(2, "b")], ["k", "v"]))
+    import os
+
+    assert os.path.isdir(os.path.join(str(tmp_path / "cr"), "t", orphan))
+    assert store.read(spark, "t").count() == 1  # orphan invisible
+    assert store.snapshot_id("t") == 1
+
+    # the retry commits normally; no duplicate, orphan stays unreferenced
+    store.append("t", spark.createDataFrame([(2, "b")], ["k", "v"]))
+    got = {(r["k"], r["v"]) for r in store.read(spark, "t").collect()}
+    assert got == {(1, "a"), (2, "b")}
+
+    # a torn manifest tmp file (crash mid-json-write) is ignored too
+    open(store._manifest_path("t") + ".tmp-dead", "w").write("{not json")
+    assert {(r["k"], r["v"]) for r in store.read(spark, "t").collect()} == got

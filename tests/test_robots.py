@@ -178,3 +178,21 @@ def test_crawl_uses_robots_table(spark, tmp_path):
     blocked = {r["url"] for r in fr.where(F.col("state") == "blocked").collect()}
     assert any("/dossier/" in u for u in blocked)
     assert store.exists("robots")
+
+
+def test_robots_wildcard_and_anchor_rules():
+    """Google-spec pattern matching: * wildcards, $ end-anchors, longest
+    pattern wins, tie → allow."""
+    # * wildcard
+    assert robots_blocked("/a/x/download.pdf", ["/a/*.pdf"], [])
+    assert not robots_blocked("/a/x/download.pdfx", ["/a/*.pdf$"], [])
+    assert robots_blocked("/a/x/download.pdf", ["/a/*.pdf$"], [])
+    # $ anchor: exact-path-only rule
+    assert robots_blocked("/private", ["/private$"], [])
+    assert not robots_blocked("/private/page", ["/private$"], [])
+    # wildcard Allow overrides shorter Disallow (longest pattern wins)
+    assert not robots_blocked("/shop/item?print=1", ["/shop/"], ["/shop/*print=1"])
+    assert robots_blocked("/shop/item", ["/shop/"], ["/shop/*print=1"])
+    # multiple wildcards
+    assert robots_blocked("/x/1/y/2/z", ["/x/*/y/*/z"], [])
+    assert not robots_blocked("/x/1/z", ["/x/*/y/*/z"], [])
