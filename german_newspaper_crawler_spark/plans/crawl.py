@@ -487,6 +487,13 @@ def run_crawl(
         store.append("seen", spark.createDataFrame([], schemas.SEEN))
 
     total_fetched = total_articles = total_images = 0
+    # A3 id high-water: read ONCE per run (on resume this is the only full
+    # articles aggregation), then track in driver state — assign_ids hands
+    # out dense ids, so highwater advances by exactly n_articles per round
+    # (a per-round max() over a 10^10-row table would reopen every footer)
+    id_highwater = 0
+    if store.exists("articles"):
+        id_highwater = store.read(spark, "articles").agg(F.max("_id")).first()[0] or 0
     for rnd in range(cfg.max_rounds):
         frontier = store.read(spark, "frontier")
         batch = FR.pop_batch(frontier, cfg.per_host_budget).cache()
@@ -590,22 +597,23 @@ def run_crawl(
             parsed_ts = cfg.parsed_ts or datetime.utcnow()
             from german_newspaper_crawler_spark.operators.ids import assign_ids
 
-            prev_max = 0
-            if store.exists("articles"):
-                prev_max = store.read(spark, "articles").agg(F.max("_id")).first()[0] or 0
             final = enriched.withColumn(
                 "parsed_date",
                 F.when(F.col("text") != "", F.lit(parsed_ts)).otherwise(
                     F.lit(None).cast("timestamp")
                 ),
             ).withColumn("ai_keywords", F.array().cast(ArrayType(StringType())))
-            final = assign_ids(final, order_cols=["domain", "priority", "seq"], offset=prev_max)
+            final = assign_ids(
+                final, order_cols=["domain", "priority", "seq"],
+                offset=id_highwater,
+            )
             articles_out = final.select(
                 "_id", "url", "titel", "teaser", "autor", "category",
                 "published_date", "parsed_date", "html_gz", "text",
                 "ai_keywords", "pos_taggs", "content_hash", "domain",
             ).cache()
             n_articles = articles_out.count()
+            id_highwater += n_articles
             if n_articles:
                 store.merge(spark, "articles", articles_out, keys=["content_hash"])
                 new_seen = articles_out.select(
