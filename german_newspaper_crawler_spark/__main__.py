@@ -18,12 +18,21 @@ def main() -> None:
     ap = argparse.ArgumentParser(prog="german_newspaper_crawler_spark")
     ap.add_argument("--config", default=None)
     ap.add_argument("--store", default=None)
-    ap.add_argument("--rounds", type=int, default=4)
+    ap.add_argument("--rounds", type=int, default=None)
     ap.add_argument("--per-host-budget", type=int, default=None)
     ap.add_argument("--no-respect-delay", action="store_true")
+    ap.add_argument("--no-bloom", action="store_true",
+                    help="disable the persistent seen-set Bloom filter (G1)")
+    ap.add_argument("--strict-refresh-replace", action="store_true",
+                    help="U2 strict reference parity: per-domain seen scope")
+    ap.add_argument("--spacy-model", default=None,
+                    help="route enrichment through the spaCy tagger stage "
+                         "(requires spacy + model in the deployment image)")
     args = ap.parse_args()
 
-    from german_newspaper_crawler_spark.config import load_seeds, load_store_config
+    from german_newspaper_crawler_spark.config import (
+        load_config, load_seeds, load_store_config,
+    )
     from german_newspaper_crawler_spark.plans.crawl import CrawlConfig, run_crawl
     from german_newspaper_crawler_spark.session import get_spark
     from german_newspaper_crawler_spark.sources.fetch import http_fetcher
@@ -39,12 +48,26 @@ def main() -> None:
         [(s.domain, s.base_url, s.host, s.collection) for s in seeds],
         ["domain", "base_url", "host", "collection"],
     )
+    # config file's crawl: section provides defaults; flags override
+    ccfg = load_config(args.config).get("crawl") or {}
+    tagger = None
+    if args.spacy_model:
+        from german_newspaper_crawler_spark.operators.enrichment import SpacyTagger
+
+        tagger = SpacyTagger(args.spacy_model)
     cfg = CrawlConfig(
-        max_rounds=args.rounds,
-        per_host_budget=args.per_host_budget,
-        respect_delay=not args.no_respect_delay,
-        use_robots_table=True,  # real crawls always honor robots.txt (G2)
-        fetch_concurrency=8,  # reference library-path default (parallel_fetcher.py:45)
+        max_rounds=args.rounds if args.rounds is not None else int(ccfg.get("rounds", 4)),
+        per_host_budget=(
+            args.per_host_budget
+            if args.per_host_budget is not None
+            else ccfg.get("per_host_budget")
+        ),
+        respect_delay=not args.no_respect_delay and bool(ccfg.get("respect_delay", True)),
+        use_robots_table=bool(ccfg.get("use_robots_table", True)),  # G2 always on for real crawls
+        use_bloom=not args.no_bloom and bool(ccfg.get("use_bloom", True)),
+        strict_refresh_replace=args.strict_refresh_replace,
+        tagger=tagger,
+        fetch_concurrency=int(ccfg.get("fetch_concurrency", 8)),  # parallel_fetcher.py:45
     )
     stats = run_crawl(spark, store, seeds_df, http_fetcher(), cfg=cfg)
     print(json.dumps(stats))
