@@ -60,3 +60,22 @@ def test_bloom_params_sane(n, fpr):
     m, k = params_for(n, fpr)
     assert m % 64 == 0 and m >= 64
     assert 1 <= k <= 16
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet=" aäbc\t\nwort", min_size=0, max_size=60), max_size=8
+    ).map(lambda ps: "\n\n".join(ps)),
+    st.integers(min_value=5, max_value=80),
+)
+def test_chunk_packing_matches_reference_exactly(text, max_len):
+    """Property parity: chunk_text_by_paragraphs == the reference's own
+    _chunk_text_by_paragraphs (pos_tagging.py:49-81) on arbitrary texts and
+    limits — greedy packing, stripping, and over-long slicing byte-for-byte."""
+    from tests.test_enrichment import _load_reference_pos_tagging
+
+    ref = _load_reference_pos_tagging()
+    assert chunk_text_by_paragraphs(text, max_len) == ref._chunk_text_by_paragraphs(
+        text, max_len
+    )
