@@ -213,3 +213,69 @@ def sample_video_frames(df: DataFrame, every_n: int, id_col: str, bytes_col: str
             yield pd.DataFrame(rows, columns=[f.name for f in FRAMES.fields])
 
     return df.mapInPandas(run, FRAMES)
+
+
+# --- image quality stats (REAL — in-repo codec) ---------------------------------
+
+IMAGE_STATS = StructType(
+    [
+        StructField("image_id", StringType()),
+        StructField("w", IntegerType()),
+        StructField("h", IntegerType()),
+        StructField("mean_lum", DoubleType()),
+        StructField("std_lum", DoubleType()),
+        StructField("entropy", DoubleType()),
+        StructField("edge_density", DoubleType()),
+    ]
+)
+
+
+def image_stats(
+    df: DataFrame, id_col: str = "image_id", bytes_col: str = "bytes"
+) -> DataFrame:
+    """Image quality features for corpus filtering (the LAION/DataComp-style
+    pre-filter: drop blanks, near-solid fills, extreme-luminance and
+    low-detail images before captioning/training):
+
+    * mean/std luminance (BT.601), rounded 6dp,
+    * 64-bin luminance histogram entropy in bits,
+    * edge density: fraction of pixels whose horizontal/vertical gradient
+      magnitude exceeds 10/255 — a cheap sharpness/detail proxy.
+
+    One vectorized numpy pass per image inside ``mapInPandas`` (decode via
+    the in-repo codec; undecodable rows are dropped — quarantine at scale).
+    Downstream filtering is plain relational predicates over these columns.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from german_newspaper_crawler_spark.functions.codec import decode_image
+
+        for pdf in batches:
+            rows = []
+            for iid, b in zip(pdf[id_col], pdf[bytes_col]):
+                if b is None:
+                    continue
+                try:
+                    rgb = decode_image(bytes(b))
+                except (NotImplementedError, ValueError):
+                    continue
+                lum = (
+                    0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+                ).astype(np.float64)
+                h, w = lum.shape
+                hist, _ = np.histogram(lum, bins=64, range=(0.0, 255.0))
+                p = hist / max(hist.sum(), 1)
+                nz = p[p > 0]
+                entropy = float(-(nz * np.log2(nz)).sum())
+                gx = np.abs(np.diff(lum, axis=1))
+                gy = np.abs(np.diff(lum, axis=0))
+                edges = (gx > 10).sum() + (gy > 10).sum()
+                denom = max(gx.size + gy.size, 1)
+                rows.append((
+                    iid, int(w), int(h),
+                    round(float(lum.mean()), 6), round(float(lum.std()), 6),
+                    round(entropy, 6), round(edges / denom, 6),
+                ))
+            yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_STATS.fields])
+
+    return df.select(F.col(id_col), F.col(bytes_col)).mapInPandas(run, IMAGE_STATS)

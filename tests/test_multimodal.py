@@ -82,3 +82,34 @@ def test_real_formats_raise_not_implemented():
         MM.decode_audio(b"RIFF....WAVEfmt ")
     with pytest.raises(NotImplementedError):
         MM.decode_video(b"\x00\x00\x00 ftypisom")
+
+
+def test_image_stats_features(spark):
+    """image_stats (LAION-style pre-filter features): a flat solid image has
+    ~zero std/entropy/edges; a noisy one is high on all three; dimensions
+    and luminance land where constructed; undecodable rows drop."""
+    import numpy as np
+
+    from german_newspaper_crawler_spark.functions.codec import encode_png
+    from german_newspaper_crawler_spark.operators.multimodal import image_stats
+
+    flat = np.full((16, 24, 3), 128, dtype=np.uint8)
+    rng = np.random.default_rng(7)
+    noisy = rng.integers(0, 256, size=(16, 24, 3), dtype=np.uint8).astype(np.uint8)
+    rows = [
+        ("flat", bytearray(encode_png(flat))),
+        ("noisy", bytearray(encode_png(noisy))),
+        ("broken", bytearray(b"\x00\x01notanimage")),
+        ("null", None),
+    ]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary")
+    got = {r["image_id"]: r for r in image_stats(df).collect()}
+    assert set(got) == {"flat", "noisy"}  # broken/null dropped
+    f, n = got["flat"], got["noisy"]
+    assert (f["w"], f["h"]) == (24, 16)
+    assert abs(f["mean_lum"] - 128.0) < 1.0
+    assert f["std_lum"] == 0.0 and f["entropy"] == 0.0 and f["edge_density"] == 0.0
+    assert n["std_lum"] > 30 and n["entropy"] > 4 and n["edge_density"] > 0.5
+    # the downstream filter is a plain relational predicate
+    kept = image_stats(df).where("std_lum > 5 AND entropy > 1").collect()
+    assert [r["image_id"] for r in kept] == ["noisy"]
