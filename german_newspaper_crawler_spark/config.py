@@ -11,7 +11,7 @@ it drives the crawl's domain ordering, ``scr/german_newspaper_crawler.py:76``).
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from urllib.parse import urlsplit
 
 _CACHE: dict[str, dict] = {}

@@ -15,7 +15,7 @@ rules at scale:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from german_newspaper_crawler_spark.functions.hashing import hash64
