@@ -1,0 +1,75 @@
+"""Partition-count determinism of the oracled battery's riskiest queries.
+
+The driver may run the correctness compare at a different local[K] /
+shuffle-partition setting than our own checks: any query whose VALUES depend
+on partitioning (window tie-breaks, collect_list order, two-phase id
+assignment, driver-side sampling) would pass here and fail there. This test
+executes the queries that have such machinery in a SUBPROCESS session with
+deliberately awkward parallelism (local[3], shuffle=3) and compares a
+sha256 over the sorted canonical row multiset against the main session's.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF = "/root/testdata/sf0.01"
+
+# the machinery-bearing subset: windows + collect_list (ngram), two-phase id
+# assignment (legacy, w1), driver-side centroid sampling (ivf), banded joins
+# + iterative components (g6x), chunk UDF (o3), rank tie-breaks (ann_lsh),
+# composed pipeline (curation)
+RISKY = [
+    "dedup_ngram_jaccard", "legacy_normalize_records", "ann_ivf_topk",
+    "ann_lsh_topk", "g6x_phash_components_keepers", "o3_chunk_packing",
+    "curation_pipeline", "dedup_embedding_lsh_pairs", "w1_a3_id_assignment",
+]
+
+
+def value_hash(df) -> tuple[int, str]:
+    from tests.oracle_check import canon_rows
+
+    counter, cols = canon_rows(df.toPandas())
+    payload = json.dumps(
+        {"cols": cols, "rows": sorted((list(k), v) for k, v in counter.items())},
+        ensure_ascii=False,
+    )
+    return sum(counter.values()), hashlib.sha256(payload.encode()).hexdigest()
+
+
+SNIPPET = """
+import json, sys
+sys.path.insert(0, {repo!r})
+import __spark_entry__ as e
+from german_newspaper_crawler_spark.session import get_spark
+from tests.test_partition_determinism import value_hash
+
+spark = get_spark(app_name="det-check", master="local[3]", shuffle_partitions=3)
+spark.sparkContext.setLogLevel("ERROR")
+qs = e.queries()
+out = {{name: value_hash(qs[name](spark, {sf!r})) for name in {risky!r}}}
+print("DETRESULT " + json.dumps(out))
+spark.stop()
+"""
+
+
+def test_risky_queries_partition_count_invariant(spark):
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    local = {name: value_hash(qs[name](spark, SF)) for name in RISKY}
+
+    out = subprocess.run(
+        [sys.executable, "-c", SNIPPET.format(repo=REPO, risky=RISKY, sf=SF)],
+        capture_output=True, text=True, cwd=REPO, timeout=900,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = [l for l in out.stdout.splitlines() if l.startswith("DETRESULT ")][-1]
+    remote = json.loads(line[len("DETRESULT "):])
+    for name in RISKY:
+        assert tuple(remote[name]) == local[name], name
