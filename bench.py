@@ -189,6 +189,14 @@ def main():
 
     cpus = args.cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    # Shared-box hygiene: timings on this VM swing ±2x when another JVM or a
+    # test suite is draining. Wait (bounded) for a quiet window before the
+    # timed section starts — this changes WHEN we measure, never WHAT.
+    deadline = time.monotonic() + 90
+    while os.getloadavg()[0] > max(4.0, cpus / 4) and time.monotonic() < deadline:
+        print(f"load {os.getloadavg()[0]:.1f} high; waiting", file=sys.stderr)
+        time.sleep(5)
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.0
 
     from german_newspaper_crawler_spark.session import get_spark
