@@ -200,3 +200,82 @@ def streaming_phash_neardup(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+MINHASH_OUT = "a bigint, b bigint"
+MINHASH_STATE = "ids array<bigint>"
+
+
+def streaming_minhash_candidates(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    n: int = 3, num_hashes: int = 8, band_rows: int = 2,
+) -> DataFrame:
+    """Streaming set-similarity candidate join (the streaming twin of
+    operators/dedup.py::minhash_lsh_candidates; cf. "Distributed Streaming
+    Set Similarity Join", ICDE 2020): as documents arrive, MinHash+LSH
+    candidate pairs are emitted the moment the later document lands.
+
+    Stage 1 (stateless mapInPandas): per-doc MinHash signature computed
+    python-side with the SHARED hash64 recipe — ``int(sha256(shingle#seed)
+    hex[:15], 16)`` — so band keys are bit-identical to the batch operator's
+    (asserted in tests/test_streaming.py). Stage 2: state keyed by
+    ``(band, key)`` holds the bucket's posting list; emitted pairs are
+    (min id, max id); multi-band duplicates dedupe downstream with
+    ``dropDuplicates(["a", "b"])``. Docs with < n tokens never signature
+    (both engines agree).
+    """
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    n_bands = num_hashes // band_rows
+
+    def sigs(batches):
+        for pdf in batches:
+            out_id, out_band, out_key = [], [], []
+            for r in pdf.itertuples(index=False):
+                toks = (getattr(r, text_col) or "").strip().split()
+                if len(toks) < n:
+                    continue
+                shingles = {
+                    " ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)
+                }
+                mins = [
+                    min(
+                        int(hashlib.sha256(f"{s}#{seed}".encode()).hexdigest()[:15], 16)
+                        for s in shingles
+                    )
+                    for seed in range(num_hashes)
+                ]
+                for b in range(n_bands):
+                    key = ":".join(
+                        str(v) for v in mins[b * band_rows:(b + 1) * band_rows]
+                    )
+                    out_id.append(int(getattr(r, id_col)))
+                    out_band.append(b)
+                    out_key.append(key)
+            yield pd.DataFrame({"id": out_id, "band": out_band, "key": out_key})
+
+    banded = docs.mapInPandas(sigs, "id bigint, band integer, key string")
+
+    def match(key, pdfs, state):
+        ids = list(state.get[0]) if state.exists else []
+        out = []
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            for rid in sorted(int(x) for x in pdf["id"]):
+                for sid in ids:
+                    out.append((min(sid, rid), max(sid, rid)))
+                ids.append(rid)
+        state.update((ids,))
+        yield pd.DataFrame(out, columns=["a", "b"])
+
+    return banded.groupBy("band", "key").applyInPandasWithState(
+        match,
+        outputStructType=MINHASH_OUT,
+        stateStructType=MINHASH_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -166,3 +166,46 @@ def test_streaming_phash_neardup_matches_batch_across_restarts(spark, tmp_path):
     got_rows = spark.read.parquet(out).dropDuplicates(["a", "b"]).collect()
     got = {(r["a"], r["b"], r["hamming"]) for r in got_rows}
     assert got == expected
+
+
+def test_streaming_minhash_candidates_match_batch_across_restarts(spark, tmp_path):
+    """Streaming MinHash set-similarity join: python-side signatures are
+    bit-identical to the batch operator's shared-hash64 band keys, so the
+    accumulated stream output over chunked arrivals + restart equals
+    minhash_lsh_candidates exactly."""
+    from german_newspaper_crawler_spark.operators.dedup import minhash_lsh_candidates
+    from german_newspaper_crawler_spark.streaming.incremental import (
+        run_available_now, streaming_minhash_candidates,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .where("doc_id < 150")
+        .cache()
+    )
+    expected = {
+        (r["a"], r["b"])
+        for r in minhash_lsh_candidates(docs, "doc_id", "text").collect()
+    }
+    assert expected  # fixture docs must actually produce candidates
+
+    src, out, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    docs.where("doc_id < 80").coalesce(1).write.mode("append").parquet(src)
+    schema = "doc_id bigint, text string"
+    stream = streaming_minhash_candidates(
+        spark.readStream.schema(schema).parquet(src)
+    )
+    run_available_now(stream, ckpt, out)
+
+    docs.where("doc_id >= 80").coalesce(1).write.mode("append").parquet(src)
+    stream = streaming_minhash_candidates(
+        spark.readStream.schema(schema).parquet(src)
+    )
+    run_available_now(stream, ckpt, out)
+
+    got = {
+        (r["a"], r["b"])
+        for r in spark.read.parquet(out).dropDuplicates(["a", "b"]).collect()
+    }
+    assert got == expected
