@@ -246,3 +246,48 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 60) -> DataFr
         .cast("long")
         .alias("simhash")
     )
+
+
+def containment_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3,
+    threshold: float = 0.9, max_df: int | None = None,
+) -> DataFrame:
+    """Set-containment near-dup join (the LCJoin problem, ICDE 2019):
+    directional pairs (inner, outer) with containment(inner→outer) =
+    |A∩B| / |A| >= threshold on distinct n-gram shingle sets.
+
+    Catches what Jaccard misses: a long article QUOTING a short one has low
+    Jaccard (union dominated by the long doc) but containment ≈ 1.0 — the
+    subset/quotation dedup case in training corpora. Candidates come from
+    the same inverted-index join as :func:`ngram_jaccard_pairs` (optional
+    ``max_df`` stop-shingle cap); never pair enumeration. Output:
+    (inner, outer, containment[6dp]).
+    """
+    sh = word_shingles(df, id_col, text_col, n)
+    if max_df is not None:
+        keep = (
+            sh.groupBy("shingle").agg(F.count("*").alias("__df"))
+            .where(F.col("__df") <= max_df).select("shingle")
+        )
+        sh = sh.join(keep, "shingle")
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("a"), "shingle")
+    b = sh.select(F.col(id_col).alias("b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("c"))
+    )
+    sa = sizes.select(F.col(id_col).alias("a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("b"), F.col("n_sh").alias("nb"))
+    both = common.join(sa, "a").join(sb, "b")
+    a_in_b = both.select(
+        F.col("a").alias("inner"), F.col("b").alias("outer"),
+        F.round(F.col("c") / F.col("na"), 6).alias("containment"),
+    )
+    b_in_a = both.select(
+        F.col("b").alias("inner"), F.col("a").alias("outer"),
+        F.round(F.col("c") / F.col("nb"), 6).alias("containment"),
+    )
+    return a_in_b.unionByName(b_in_a).where(F.col("containment") >= threshold)

@@ -1910,3 +1910,36 @@ def decontaminate_against_benchmark(spark, sf_dir):
     corpus = docs.where(F.col("doc_id") % 97 != 0)
     bench = docs.where(F.col("doc_id") % 97 == 0)
     return decontaminate(corpus, bench, id_col="doc_id", text_col="text", k=16, w=5)
+
+
+@register(
+    "dedup_containment",
+    "Set-containment near-dup join (LCJoin problem shape): directional "
+    "(inner, outer) pairs with |A∩B|/|A| >= 0.9 over 3-gram shingle sets — "
+    "the subset/quotation dedup case Jaccard under-scores. Same "
+    "inverted-index candidates as the Jaccard op, no pair enumeration.",
+    oracle=f"""
+    WITH {_SHINGLE_SQL},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS c
+      FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    both_dir AS (
+      SELECT common.a AS inner, common.b AS outer,
+             ROUND(c * 1.0 / sa.n, 6) AS containment
+      FROM common JOIN sizes sa ON sa.doc_id = common.a
+      UNION ALL
+      SELECT common.b, common.a, ROUND(c * 1.0 / sb.n, 6)
+      FROM common JOIN sizes sb ON sb.doc_id = common.b)
+    SELECT "inner", "outer", containment FROM both_dir
+    WHERE containment >= 0.9
+    """,
+)
+def dedup_containment(spark, sf_dir):
+    from german_newspaper_crawler_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(
+        t(spark, sf_dir, "documents"), id_col="doc_id", text_col="text",
+        n=3, threshold=0.9,
+    )

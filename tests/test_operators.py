@@ -208,3 +208,28 @@ def test_store_crash_between_write_and_commit_is_invisible(spark, tmp_path):
     # a torn manifest tmp file (crash mid-json-write) is ignored too
     open(store._manifest_path("t") + ".tmp-dead", "w").write("{not json")
     assert {(r["k"], r["v"]) for r in store.read(spark, "t").collect()} == got
+
+
+def test_containment_catches_quotation_jaccard_misses(spark):
+    """A long article quoting a short one: Jaccard is low (union dominated
+    by the long doc) but containment(inner→outer) = 1.0 — the case the
+    containment join exists for."""
+    from german_newspaper_crawler_spark.operators.dedup import (
+        containment_pairs, ngram_jaccard_pairs,
+    )
+
+    short = "der kurze originale bericht über das ereignis"
+    long = (
+        "einleitung mit vielen anderen worten und sätzen hier "
+        + short
+        + " und noch eine lange analyse danach mit weiteren absätzen "
+        "sowie zusätzlichen einschätzungen von expertinnen und experten"
+    )
+    df = spark.createDataFrame([(1, short), (2, long)], ["doc_id", "text"])
+    jac = ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.5).collect()
+    assert jac == []  # jaccard misses the quotation
+    cont = {
+        (r["inner"], r["outer"]): r["containment"]
+        for r in containment_pairs(df, "doc_id", "text", n=3, threshold=0.9).collect()
+    }
+    assert cont == {(1, 2): 1.0}  # short doc fully contained in the long one
