@@ -104,17 +104,28 @@ def ngram_jaccard_pairs(
     """
     sh = word_shingles(df, id_col, text_col, n)
     if max_df is not None:
-        # single-scan inverted index: ONE shuffle on shingle builds the
-        # bounded posting lists (≤ max_df ids each); the ≤ k²/2 pairs per
-        # list are emitted JVM-side from the sorted array — no second pass
-        # over the documents and no self-join re-derivation of the explode.
-        groups = sh.groupBy("shingle").agg(
-            F.sort_array(F.collect_list(F.col(id_col))).alias("ds")
-        ).where(F.size("ds") <= max_df)
+        # Inverted index in two cheap passes. Pass 1: df counts per shingle
+        # — a partial-aggregatable count (map-side combine), NOT a
+        # collect_list over the (overwhelmingly singleton) posting lists.
+        # Pass 2: only shingles with df in [2, max_df] — a tiny,
+        # broadcast-sized key set on real corpora — build sorted posting
+        # lists and emit their ≤ k²/2 pairs JVM-side. Per-doc sizes count
+        # every df ≤ max_df shingle (incl. singletons) via a broadcast
+        # anti-join of the (even tinier) over-cap key set.
+        dfreq = sh.groupBy("shingle").agg(F.count("*").alias("__df"))
+        overcap = dfreq.where(F.col("__df") > max_df).select("shingle")
+        shared = dfreq.where(
+            (F.col("__df") >= 2) & (F.col("__df") <= max_df)
+        ).select("shingle")
         sizes = (
-            groups.select(F.explode("ds").alias(id_col))
+            sh.join(overcap, "shingle", "left_anti")
             .groupBy(id_col)
             .agg(F.count("*").alias("n_sh"))
+        )
+        groups = (
+            sh.join(shared, "shingle", "left_semi")
+            .groupBy("shingle")
+            .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ds"))
         )
         pair_structs = F.expr(
             """flatten(transform(sequence(1, size(ds) - 1),
@@ -122,8 +133,7 @@ def ngram_jaccard_pairs(
                    y -> struct(element_at(ds, i) AS a, y AS b))))"""
         )
         common = (
-            groups.where(F.size("ds") >= 2)
-            .select(F.explode(pair_structs).alias("p"))
+            groups.select(F.explode(pair_structs).alias("p"))
             .select("p.a", "p.b")
             .groupBy("a", "b")
             .agg(F.count("*").alias("c"))
