@@ -615,7 +615,10 @@ def run_crawl(
             n_articles = articles_out.count()
             id_highwater += n_articles
             if n_articles:
-                store.merge(spark, "articles", articles_out, keys=["content_hash"])
+                # keyed delta, not a full-table MERGE rewrite — same
+                # merge-on-read resolution as the frontier (write ∝ batch;
+                # at 10^10 articles a per-round rewrite is the whole table)
+                store.merge_delta("articles", articles_out, keys=["content_hash"])
                 new_seen = articles_out.select(
                     "content_hash", "domain",
                     F.lit(parsed_ts).alias("added_at"),
@@ -718,6 +721,8 @@ def run_crawl(
                 fresh_rows.unpersist()
             if cfg.compact_every and (rnd + 1) % cfg.compact_every == 0:
                 store.compact(spark, "frontier")
+                if store.exists("articles"):
+                    store.compact(spark, "articles")
 
         metrics.append(
             {
