@@ -67,6 +67,9 @@ class CrawlConfig:
     # every N rounds (Iceberg rewrite_data_files cadence); keeps the
     # merge-on-read delta chain short without per-round full rewrites
     compact_every: int = 8
+    # run-log retention (reference logging.retentions_day analog): rotate
+    # the logs table down to this many snapshots at run end; 0 disables
+    log_keep_snapshots: int = 500
     # U2 strict reference parity: scope the seen anti-join to the current
     # collection/domain only, reproducing web_requests.py:222-229 where
     # known_hashes is REPLACED by the refreshed single-collection set after
@@ -761,6 +764,8 @@ def run_crawl(
                 fetched=total_fetched, articles=total_articles,
                 images=total_images)
     runlog.flush(spark)
+    if cfg.log_keep_snapshots:
+        runlog.rotate(keep_last=cfg.log_keep_snapshots)
 
     return {
         "rounds": len(metrics),
