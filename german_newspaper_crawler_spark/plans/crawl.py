@@ -67,6 +67,9 @@ class CrawlConfig:
     # every N rounds (Iceberg rewrite_data_files cadence); keeps the
     # merge-on-read delta chain short without per-round full rewrites
     compact_every: int = 8
+    # after compaction, expire unreferenced snapshot dirs beyond this time-
+    # travel window (Iceberg expire_snapshots cadence); None keeps all
+    expire_keep_last: int | None = 20
     # run-log retention (reference logging.retentions_day analog): rotate
     # the logs table down to this many snapshots at run end; 0 disables
     log_keep_snapshots: int = 500
@@ -726,6 +729,9 @@ def run_crawl(
                 store.compact(spark, "frontier")
                 if store.exists("articles"):
                     store.compact(spark, "articles")
+                if cfg.expire_keep_last:
+                    store.expire_snapshots("frontier", keep_last=cfg.expire_keep_last)
+                    store.expire_snapshots("articles", keep_last=cfg.expire_keep_last)
 
         metrics.append(
             {

@@ -248,9 +248,12 @@ class SnapshotStore:
     def expire_snapshots(self, table: str, keep_last: int = 3) -> int:
         """Drop unreferenced snapshot dirs older than the last ``keep_last``
         manifest entries (Iceberg expire_snapshots analog). Time travel stays
-        available for the kept window. Returns dirs removed."""
+        available for the kept window. Returns dirs removed; no-op for a
+        table that has never committed."""
         import shutil
 
+        if not os.path.isdir(self._tdir(table)):
+            return 0
         m = self._read_manifest(table)
         keep_dirs = set(m["live"])
         for s in m["snapshots"][-keep_last:]:
