@@ -426,6 +426,16 @@ def skip_known(
     common fresh-URL path, turning three shuffle anti-joins into a broadcast
     blob test. Maybe-seen rows fall through to the exact check, so the final
     set is always exact (the filter accelerates, never decides).
+
+    Residual-scan note (10^10 seen): the exact fallback still scans the seen
+    table's hash column (Spark's DPP does not prune the build side of a
+    LEFT ANTI — verified). If that column scan ever dominates, partition the
+    seen table by ``pmod(hash64(content_hash), K)`` (store.set_partition_spec)
+    and statically prune the read to the maybe-rows' buckets — the bucket-id
+    set is bounded by the constant K, so collecting it is bounded driver
+    state like ids.py's per-partition counts. Not wired here because the
+    bloom already shrinks the probe side to near-zero and the build-side
+    scan is one columnar column.
     """
     if blooms is not None:
         from german_newspaper_crawler_spark.functions.hashing import hash64
