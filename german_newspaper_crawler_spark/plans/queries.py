@@ -1943,3 +1943,65 @@ def dedup_containment(spark, sf_dir):
         t(spark, sf_dir, "documents"), id_col="doc_id", text_col="text",
         n=3, threshold=0.9,
     )
+
+
+@register(
+    "text_repetition_metrics",
+    "Gopher-style repetition filters (training-data hygiene): fraction of "
+    "tokens taken by the single most frequent token and fraction of bigrams "
+    "taken by the most frequent bigram — the repeated-boilerplate signals "
+    "every corpus pipeline thresholds on. Pure explode + groupBy + max, "
+    "no UDF.",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(TRIM(text), '\\s+') AS tk
+      FROM documents WHERE TRIM(text) <> ''),
+    words AS (
+      SELECT doc_id, unnest(tk) AS w, len(tk) AS n FROM toks),
+    wcnt AS (
+      SELECT doc_id, n, COUNT(*) AS c FROM words GROUP BY doc_id, n, w),
+    topw AS (
+      SELECT doc_id, ROUND(MAX(c) * 1.0 / ANY_VALUE(n), 6) AS top_word_frac
+      FROM wcnt GROUP BY doc_id),
+    bi AS (
+      SELECT doc_id, tk[i] || ' ' || tk[i+1] AS bg, len(tk) - 1 AS nb
+      FROM toks, unnest(generate_series(1, len(tk) - 1)) AS t(i)
+      WHERE len(tk) >= 2),
+    bcnt AS (SELECT doc_id, nb, COUNT(*) AS c FROM bi GROUP BY doc_id, nb, bg),
+    topb AS (
+      SELECT doc_id, ROUND(MAX(c) * 1.0 / ANY_VALUE(nb), 6) AS top_bigram_frac
+      FROM bcnt GROUP BY doc_id)
+    SELECT t.doc_id, t.top_word_frac,
+           COALESCE(b.top_bigram_frac, 0.0) AS top_bigram_frac
+    FROM topw t LEFT JOIN topb b ON b.doc_id = t.doc_id
+    """,
+)
+def text_repetition_metrics(spark, sf_dir):
+    docs = (
+        t(spark, sf_dir, "documents")
+        .where(F.trim("text") != "")
+        .select("doc_id", F.split(F.trim("text"), r"\s+").alias("tk"))
+    )
+    words = docs.select("doc_id", F.size("tk").alias("n"), F.explode("tk").alias("w"))
+    topw = (
+        words.groupBy("doc_id", "n", "w").count()
+        .groupBy("doc_id")
+        .agg(F.round(F.max("count") / F.first("n"), 6).alias("top_word_frac"))
+    )
+    bi = docs.where(F.size("tk") >= 2).select(
+        "doc_id",
+        (F.size("tk") - 1).alias("nb"),
+        F.explode(
+            F.expr("transform(sequence(1, size(tk) - 1), "
+                   "i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))")
+        ).alias("bg"),
+    )
+    topb = (
+        bi.groupBy("doc_id", "nb", "bg").count()
+        .groupBy("doc_id")
+        .agg(F.round(F.max("count") / F.first("nb"), 6).alias("top_bigram_frac"))
+    )
+    return topw.join(topb, "doc_id", "left").select(
+        "doc_id", "top_word_frac",
+        F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
+    )
