@@ -142,3 +142,24 @@ def chunk_text_by_paragraphs(text: str, max_len: int) -> list[str]:
     if current:
         chunks.append(current)
     return chunks
+
+
+# PII patterns — the C4-style scrub pass. Kept to a regex subset that means
+# the same thing in Java regex (Spark) and RE2 (DuckDB) so the redaction is
+# oracle-checkable: no backrefs, no lookarounds.
+PII_PATTERNS = {
+    "EMAIL": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "IPV4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "PHONE": r"\+\d{2}[ -]?\d{2,4}[ -]?\d{4,8}",
+}
+
+
+def redact_pii(col) -> Column:
+    """Replace emails / IPv4s / international phone numbers with typed
+    placeholders (``<EMAIL>`` …) — the standard pre-training scrub. Chained
+    JVM-side regexp_replace, no UDF; patterns are dialect-portable so the
+    DuckDB oracle applies the identical rules."""
+    out = _c(col)
+    for tag, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, f"<{tag}>")
+    return out

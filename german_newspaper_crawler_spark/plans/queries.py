@@ -2005,3 +2005,60 @@ def text_repetition_metrics(spark, sf_dir):
         "doc_id", "top_word_frac",
         F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
     )
+
+
+@register(
+    "text_redact_pii",
+    "PII scrub (C4-style pre-training hygiene): emails / IPv4s / intl phone "
+    "numbers → typed placeholders via chained JVM-side regexp_replace. "
+    "Synthetic PII is injected deterministically per doc (no fixture PII), "
+    "then redacted; patterns are Java-regex/RE2-portable so the oracle "
+    "applies identical rules.",
+    oracle="""
+    WITH injected AS (
+      SELECT doc_id,
+             TRIM(text) || ' kontakt: nutzer' || doc_id
+             || '@beispiel.de tel +49 30 ' || (10000000 + doc_id)
+             || ' ip 10.0.' || (doc_id % 256) || '.7' AS s
+      FROM documents WHERE TRIM(text) <> ''),
+    red AS (
+      SELECT doc_id,
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(s,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IPV4>', 'g'),
+          '\\+\\d{2}[ -]?\\d{2,4}[ -]?\\d{4,8}', '<PHONE>', 'g') AS redacted
+      FROM injected)
+    SELECT doc_id, redacted,
+           (redacted LIKE '%<EMAIL>%' AND redacted LIKE '%<PHONE>%'
+            AND redacted LIKE '%<IPV4>%') AS fully_scrubbed
+    FROM red
+    """,
+)
+def text_redact_pii(spark, sf_dir):
+    from german_newspaper_crawler_spark.functions.text import redact_pii
+
+    injected = (
+        t(spark, sf_dir, "documents")
+        .where(F.trim("text") != "")
+        .select(
+            "doc_id",
+            F.concat(
+                F.trim("text"), F.lit(" kontakt: nutzer"),
+                F.col("doc_id").cast("string"), F.lit("@beispiel.de tel +49 30 "),
+                (F.col("doc_id") + 10000000).cast("string"),
+                F.lit(" ip 10.0."), (F.col("doc_id") % 256).cast("string"),
+                F.lit(".7"),
+            ).alias("s"),
+        )
+    )
+    red = injected.select("doc_id", redact_pii("s").alias("redacted"))
+    return red.select(
+        "doc_id", "redacted",
+        (
+            F.col("redacted").contains("<EMAIL>")
+            & F.col("redacted").contains("<PHONE>")
+            & F.col("redacted").contains("<IPV4>")
+        ).alias("fully_scrubbed"),
+    )
