@@ -2062,3 +2062,54 @@ def text_redact_pii(spark, sf_dir):
             & F.col("redacted").contains("<IPV4>")
         ).alias("fully_scrubbed"),
     )
+
+
+@register(
+    "text_charbigram_logprob",
+    "Statistical LM filter proxy (the KenLM-perplexity analog with zero "
+    "deps): corpus char-bigram distribution → per-doc mean log-probability. "
+    "Low scores = out-of-distribution text (garbled encodings, boilerplate, "
+    "wrong language) — the model-based quality gate shape. Two relational "
+    "passes, no UDF: global bigram counts (map-side combinable) broadcast-"
+    "joined back onto per-doc bigrams.",
+    oracle="""
+    WITH nt AS (
+      SELECT doc_id, lower(TRIM(regexp_replace(text, '\\s+', ' ', 'g'))) AS s
+      FROM documents WHERE length(TRIM(text)) >= 2),
+    bg AS (
+      SELECT doc_id, substr(s, CAST(i AS INT), 2) AS b
+      FROM nt, unnest(generate_series(1, length(s) - 1)) AS t(i)),
+    gcnt AS (SELECT b, COUNT(*) AS c FROM bg GROUP BY b),
+    tot AS (SELECT SUM(c) AS t FROM gcnt)
+    SELECT doc_id,
+           ROUND(AVG(ln(gcnt.c * 1.0 / tot.t)), 6) AS avg_logprob,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams
+    FROM bg JOIN gcnt USING (b) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)
+def text_charbigram_logprob(spark, sf_dir):
+    from german_newspaper_crawler_spark.functions.text import ws_normalize
+
+    nt = (
+        t(spark, sf_dir, "documents")
+        .where(F.length(F.trim("text")) >= 2)
+        .select("doc_id", F.lower(ws_normalize("text")).alias("s"))
+    )
+    bg = nt.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, length(s) - 1), i -> substr(s, i, 2))")
+        ).alias("b"),
+    )
+    glob = bg.groupBy("b").agg(F.count("*").alias("c"))
+    total = glob.agg(F.sum("c").alias("t"))
+    return (
+        bg.join(F.broadcast(glob), "b")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg(F.log(F.col("c") / F.col("t"))), 6).alias("avg_logprob"),
+            F.count("*").cast("long").alias("n_bigrams"),
+        )
+    )
