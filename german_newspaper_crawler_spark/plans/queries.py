@@ -2113,3 +2113,91 @@ def text_charbigram_logprob(spark, sf_dir):
             F.count("*").cast("long").alias("n_bigrams"),
         )
     )
+
+
+@register(
+    "sample_stratified_mix",
+    "Deterministic corpus mixing (the data-mixture op training pipelines "
+    "run last): per-source sampling rates applied via a hash64 threshold — "
+    "reproducible across runs/engines/partitionings, unlike RNG sampleBy. "
+    "Sources ending in 0/1 keep 100%, 2-5 keep 50%, rest keep 10%; plus an "
+    "up-weight column (epochs) for the 100% stratum.",
+    oracle=f"""
+    WITH rated AS (
+      SELECT doc_id, source,
+             CASE WHEN source LIKE '%0' OR source LIKE '%1' THEN 10000
+                  WHEN source LIKE '%2' OR source LIKE '%3'
+                    OR source LIKE '%4' OR source LIKE '%5' THEN 5000
+                  ELSE 1000 END AS keep_bp,
+             {hash64_sql("'mix:' || CAST(doc_id AS VARCHAR)")} % 10000 AS h
+      FROM documents)
+    SELECT doc_id, source,
+           CAST(CASE WHEN keep_bp = 10000 THEN 2 ELSE 1 END AS INT) AS epochs
+    FROM rated WHERE h < keep_bp
+    """,
+)
+def sample_stratified_mix(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source")
+    keep_bp = (
+        F.when(F.col("source").rlike("[01]$"), F.lit(10000))
+        .when(F.col("source").rlike("[2345]$"), F.lit(5000))
+        .otherwise(F.lit(1000))
+    )
+    h = F.pmod(
+        hash64(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))),
+        F.lit(10000),
+    )
+    return (
+        docs.withColumn("keep_bp", keep_bp)
+        .where(h < F.col("keep_bp"))
+        .select(
+            "doc_id", "source",
+            F.when(F.col("keep_bp") == 10000, F.lit(2)).otherwise(F.lit(1))
+            .cast("int").alias("epochs"),
+        )
+    )
+
+
+@register(
+    "pack_training_sequences",
+    "Sequence packing (the last hop before training: concatenate docs and "
+    "split at fixed context length): per-source running token offsets via a "
+    "window cumsum (per-shard windows — parallel across sources, never a "
+    "global single-partition window), each doc mapped to its [start, end) "
+    "token span and the 512-token sequence ids it lands in.",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source,
+             CASE WHEN TRIM(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(TRIM(text), '\\s+')) END AS ntok
+      FROM documents),
+    offs AS (
+      SELECT doc_id, source, ntok,
+             SUM(ntok) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+      FROM toks WHERE ntok > 0)
+    SELECT doc_id, source,
+           CAST(cum - ntok AS BIGINT) AS start_tok,
+           CAST(cum AS BIGINT) AS end_tok,
+           CAST((cum - ntok) // 512 AS BIGINT) AS first_seq,
+           CAST((cum - 1) // 512 AS BIGINT) AS last_seq
+    FROM offs
+    """,
+)
+def pack_training_sequences(spark, sf_dir):
+    from german_newspaper_crawler_spark.functions.text import token_count_estimate
+
+    toks = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", token_count_estimate("text").alias("ntok")
+    ).where(F.col("ntok") > 0)
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offs = toks.withColumn("cum", F.sum("ntok").over(w))
+    return offs.select(
+        "doc_id", "source",
+        (F.col("cum") - F.col("ntok")).cast("long").alias("start_tok"),
+        F.col("cum").cast("long").alias("end_tok"),
+        F.floor((F.col("cum") - F.col("ntok")) / 512).cast("long").alias("first_seq"),
+        F.floor((F.col("cum") - 1) / 512).cast("long").alias("last_seq"),
+    )
