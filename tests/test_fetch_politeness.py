@@ -100,3 +100,44 @@ def test_crawl_with_bloom_matches_exact(spark, tmp_path):
         }
     assert results[True] == results[False]
     assert len(results[True]) > 0
+
+
+def test_bloom_composes_with_strict_scope(spark):
+    """G1 × U2: the Bloom prefilter is global ("provably absent anywhere" ⇒
+    absent in every scope), so bloom-accelerated strict-scoped skip_known
+    equals the exact strict-scoped result."""
+    import hashlib
+
+    from german_newspaper_crawler_spark import schemas
+    from german_newspaper_crawler_spark.functions.hashing import hash64
+    from german_newspaper_crawler_spark.operators.bloom import build_bloom, params_for
+    from german_newspaper_crawler_spark.plans.crawl import skip_known
+    from pyspark.sql import functions as F
+
+    sha = lambda s: hashlib.sha256(s.encode()).hexdigest()  # noqa: E731
+    arts = spark.createDataFrame(
+        [(sha(f"c{i}"), sha(f"u{i}"), sha(f"t{i}"), f"d{i % 2}") for i in range(60)],
+        ["content_hash", "url_hash", "text_content_hash", "domain"],
+    )
+    # seen: d0 knows hashes 0..19, d1 knows 10..29 → strict scope matters
+    seen = spark.createDataFrame(
+        [(sha(f"c{i}"), "d0", None) for i in range(20)]
+        + [(sha(f"c{i}"), "d1", None) for i in range(10, 30)],
+        schemas.SEEN,
+    )
+    m, k = params_for(100, 0.01)
+    blooms = build_bloom(
+        seen, "content_hash",
+        F.pmod(hash64("content_hash"), F.lit(4)).cast("int"), m, k,
+    )
+    exact = {r["content_hash"] for r in skip_known(arts, seen, scope_col="domain").collect()}
+    accel = {
+        r["content_hash"]
+        for r in skip_known(
+            arts, seen, blooms=blooms, n_bloom_buckets=4, scope_col="domain"
+        ).collect()
+    }
+    assert accel == exact
+    # and the strict result differs from global (scope genuinely engaged)
+    global_ = {r["content_hash"] for r in skip_known(arts, seen).collect()}
+    assert exact != global_
