@@ -196,3 +196,46 @@ def test_robots_wildcard_and_anchor_rules():
     # multiple wildcards
     assert robots_blocked("/x/1/y/2/z", ["/x/*/y/*/z"], [])
     assert not robots_blocked("/x/1/z", ["/x/*/y/*/z"], [])
+
+
+def test_attach_robots_crawl_delay_enforced(spark, tmp_path):
+    """The broadcast-joined rules path also carries Crawl-delay: per-host
+    gaps are enforced inside the fetch stage exactly like the dict path."""
+    import json
+    import time as _time
+
+    from german_newspaper_crawler_spark.sources.fetch import fetch_stage
+
+    stampdir = tmp_path / "stamps"
+    stampdir.mkdir()
+
+    def fetcher(url, _d=str(stampdir)):
+        import os
+        import time
+        import uuid
+
+        host = url.split("/")[2]
+        with open(os.path.join(_d, f"{host}-{uuid.uuid4().hex}"), "w") as f:
+            f.write(json.dumps(time.monotonic()))
+        return 200, "<p>x</p>", None
+
+    batch = spark.createDataFrame(
+        [(f"https://slow.example/a{i}", "slow.example", 0, 0, i, "article",
+          "d", "b", "") for i in range(3)],
+        ["url", "host", "bucket", "priority", "seq", "kind", "domain",
+         "base_url", "anchor_text"],
+    )
+    rules = spark.createDataFrame(
+        [("slow.example", [], [], 150)],
+        "host string, disallow_prefixes array<string>, "
+        "allow_prefixes array<string>, crawl_delay_ms int",
+    )
+    out = fetch_stage(
+        attach_robots(batch, rules), fetcher, respect_delay=True
+    ).collect()
+    assert all(r["status"] == 200 for r in out)
+    stamps = sorted(
+        json.loads(open(p).read()) for p in stampdir.glob("slow.example-*")
+    )
+    gaps = [b - a for a, b in zip(stamps, stamps[1:])]
+    assert len(gaps) == 2 and all(g >= 0.14 for g in gaps), gaps
