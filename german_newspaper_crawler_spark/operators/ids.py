@@ -74,3 +74,77 @@ def assign_ids(
 
     result = ordered.mapInPandas(add_ids, schema=out_schema)
     return result
+
+
+def grouped_cumsum(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list[str],
+    value_col: str,
+    cum_col: str = "cum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Running ``SUM(value)`` within ``group_col`` ordered by ``order_cols``
+    — the scalable replacement for
+    ``Window.partitionBy(group).orderBy(order).rowsBetween(unboundedPreceding,
+    currentRow)``, which serializes each group onto ONE task. When one group
+    dominates (``source='web'`` in a pre-training corpus is ~90% of rows),
+    the window plan is a single-partition scan of ~all data — a 100 TB
+    scale-killer. Same two-phase shape as :func:`assign_ids`:
+
+    1. range-partition + sort by ``(group, *order)`` — contiguous slices,
+    2. per-(partition, group) partial sums: a driver collect of
+       ≈ ``num_partitions + num_groups`` rows (bounded at any scale),
+    3. broadcast prefix offsets into a ``mapInPandas`` that accumulates
+       locally (vectorized pandas groupby-cumsum per Arrow batch).
+
+    Values are a pure function of ``(group, order)`` — partition boundaries
+    never change the result, so the output is partition-count deterministic.
+    Order keys must be unique within a group (ties would make ANY running
+    sum, window or otherwise, ill-defined).
+    """
+    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ordered = (
+        df.repartitionByRange(
+            parts, F.col(group_col), *[F.col(c) for c in order_cols]
+        )
+        .sortWithinPartitions(group_col, *order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    partials = (
+        ordered.groupBy("__pid", group_col).agg(F.sum(value_col).alias("s")).collect()
+    )
+    offsets: dict[tuple[int, object], int] = {}
+    cur_group: object = object()
+    acc = 0
+    for r in sorted(partials, key=lambda r: (r[group_col], r["__pid"])):
+        if r[group_col] != cur_group:
+            cur_group, acc = r[group_col], 0
+        offsets[(r["__pid"], r[group_col])] = acc
+        acc += int(r["s"])
+
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(cum_col, LongType(), False)]
+    )
+
+    def add_cumsum(batches):
+        carried: dict = {}
+        pid = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if pid is None:
+                pid = int(pdf["__pid"].iloc[0])
+            within = pdf.groupby(group_col, sort=False)[value_col].cumsum()
+            bmap = {
+                g: carried.get(g, offsets.get((pid, g), 0))
+                for g in pdf[group_col].unique()
+            }
+            out = pdf.drop(columns=["__pid"])
+            out[cum_col] = (within + pdf[group_col].map(bmap)).astype("int64")
+            for g, v in out.groupby(group_col, sort=False)[cum_col].last().items():
+                carried[g] = int(v)
+            yield out
+
+    return ordered.mapInPandas(add_cumsum, schema=out_schema)

@@ -1373,16 +1373,19 @@ def g5_image_decode_phash(spark, sf_dir):
 
 @register(
     "dedup_components_keepers",
-    "Near-dup clustering: n-gram-Jaccard pair edges → connected components "
+    "Near-dup clustering: n-gram-Jaccard pair edges (max_df=100 stop-shingle "
+    "cap — no quadratic bucket from a common shingle) → connected components "
     "(iterative min-label propagation, operators/components.py) → one keeper "
     "per cluster (min doc_id, the reference's min-_id convention). Oracle: "
     "recursive-CTE transitive closure.",
     oracle=f"""
     WITH RECURSIVE {_SHINGLE_SQL},
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 100),
+    shc AS (SELECT sh.* FROM sh JOIN keep USING (shingle)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id),
     common AS (
       SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS c
-      FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id
+      FROM shc a JOIN shc b USING (shingle) WHERE a.doc_id < b.doc_id
       GROUP BY 1, 2),
     edges AS (
       SELECT a, b FROM common
@@ -1406,7 +1409,7 @@ def dedup_components_keepers(spark, sf_dir):
     from german_newspaper_crawler_spark.operators.dedup import ngram_jaccard_pairs
 
     docs = t(spark, sf_dir, "documents")
-    edges = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    edges = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5, max_df=100)
     return dedup_keepers(docs.select("doc_id"), "doc_id", edges).select(
         "doc_id", F.col("component").cast("long").alias("component"), "is_keeper"
     )
@@ -1917,13 +1920,16 @@ def decontaminate_against_benchmark(spark, sf_dir):
     "Set-containment near-dup join (LCJoin problem shape): directional "
     "(inner, outer) pairs with |A∩B|/|A| >= 0.9 over 3-gram shingle sets — "
     "the subset/quotation dedup case Jaccard under-scores. Same "
-    "inverted-index candidates as the Jaccard op, no pair enumeration.",
+    "inverted-index candidates as the Jaccard op (max_df=100 stop-shingle "
+    "cap), no pair enumeration.",
     oracle=f"""
     WITH {_SHINGLE_SQL},
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 100),
+    shc AS (SELECT sh.* FROM sh JOIN keep USING (shingle)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id),
     common AS (
       SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS c
-      FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id
+      FROM shc a JOIN shc b USING (shingle) WHERE a.doc_id < b.doc_id
       GROUP BY 1, 2),
     both_dir AS (
       SELECT common.a AS inner, common.b AS outer,
@@ -1941,7 +1947,7 @@ def dedup_containment(spark, sf_dir):
 
     return containment_pairs(
         t(spark, sf_dir, "documents"), id_col="doc_id", text_col="text",
-        n=3, threshold=0.9,
+        n=3, threshold=0.9, max_df=100,
     )
 
 
@@ -2161,10 +2167,12 @@ def sample_stratified_mix(spark, sf_dir):
 @register(
     "pack_training_sequences",
     "Sequence packing (the last hop before training: concatenate docs and "
-    "split at fixed context length): per-source running token offsets via a "
-    "window cumsum (per-shard windows — parallel across sources, never a "
-    "global single-partition window), each doc mapped to its [start, end) "
-    "token span and the 512-token sequence ids it lands in.",
+    "split at fixed context length): per-source running token offsets via "
+    "two-phase grouped cumsum (operators/ids.py::grouped_cumsum — partial "
+    "sums per range partition + broadcast prefix offsets, NEVER a "
+    "single-task-per-source window: the dominant web source would "
+    "serialize), each doc mapped to its [start, end) token span and the "
+    "512-token sequence ids it lands in.",
     oracle="""
     WITH toks AS (
       SELECT doc_id, source,
@@ -2186,14 +2194,12 @@ def sample_stratified_mix(spark, sf_dir):
 )
 def pack_training_sequences(spark, sf_dir):
     from german_newspaper_crawler_spark.functions.text import token_count_estimate
+    from german_newspaper_crawler_spark.operators.ids import grouped_cumsum
 
     toks = t(spark, sf_dir, "documents").select(
         "doc_id", "source", token_count_estimate("text").alias("ntok")
     ).where(F.col("ntok") > 0)
-    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    offs = toks.withColumn("cum", F.sum("ntok").over(w))
+    offs = grouped_cumsum(toks, "source", ["doc_id"], "ntok", cum_col="cum")
     return offs.select(
         "doc_id", "source",
         (F.col("cum") - F.col("ntok")).cast("long").alias("start_tok"),

@@ -106,3 +106,41 @@ def test_seen_anti_join_is_hash_join_not_nested_loop(spark):
     plan_s = _plan_of(skip_known(arts, seen, scope_col="domain"))
     assert "BroadcastNestedLoopJoin" not in plan_s and "CartesianProduct" not in plan_s
     assert plan_s.count("LeftAnti") == 3, plan_s
+
+
+def test_pack_sequences_has_no_window(spark):
+    """pack_training_sequences must compile WITHOUT a Window operator: the
+    per-source unbounded-preceding cumsum window serializes the dominant
+    source (~all of a web corpus) onto one task. The two-phase
+    grouped_cumsum (operators/ids.py) replaces it — range exchange +
+    mapInPandas, no Window node anywhere in the plan."""
+    import __spark_entry__ as e
+
+    plan = _plan_of(e.queries()["pack_training_sequences"](spark, SF))
+    assert "Window" not in plan, plan
+    assert "MapInPandas" in plan
+    assert "RangePartitioning" in plan or "rangepartitioning" in plan.lower()
+
+
+def test_grouped_cumsum_equals_window(spark):
+    """Value equivalence: grouped_cumsum == the window cumsum it replaces,
+    including groups split across many range partitions (num_partitions=7
+    on 3 groups forces splits)."""
+    from pyspark.sql import Window, functions as F
+    from german_newspaper_crawler_spark.operators.ids import grouped_cumsum
+
+    df = spark.range(500).selectExpr(
+        "id", "concat('s', id % 3) AS g", "cast(id % 17 + 1 AS int) AS v"
+    )
+    got = {
+        (r["g"], r["id"]): r["cum"]
+        for r in grouped_cumsum(df, "g", ["id"], "v", num_partitions=7).collect()
+    }
+    w = Window.partitionBy("g").orderBy("id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = {
+        (r["g"], r["id"]): r["cum"]
+        for r in df.withColumn("cum", F.sum("v").over(w)).collect()
+    }
+    assert got == want
