@@ -202,9 +202,12 @@ def ensure_blooms(
     existing = store.read(spark, "blooms", BLOOM_SCHEMA) if store.exists("blooms") else None
     if existing is not None:
         head = existing.select("m", "k").first()
-        total = existing.agg(F.sum("n_items").alias("t")).first()["t"] or 0
-        if total <= capacity_of(int(head["m"]), fpr):
-            return merge_bloom_tables(existing)
+        # head is None when a bootstrap ever committed zero blob rows (e.g.
+        # an all-null-hash batch) — treat as missing and rebuild below
+        if head is not None:
+            total = existing.agg(F.sum("n_items").alias("t")).first()["t"] or 0
+            if total <= capacity_of(int(head["m"]), fpr):
+                return merge_bloom_tables(existing)
     # (re)build from the full seen set, sized with 2x headroom
     n_seen = seen.count()
     if not n_seen:
@@ -221,21 +224,29 @@ def update_blooms(
     new_hashes: DataFrame,
     hash_col: str = "content_hash",
     n_buckets: int = 16,
+    fpr: float = 0.01,
 ) -> None:
     """Append same-(m,k) delta blobs for this round's NEW hashes — write and
     scan ∝ batch size. Bootstraps the base filter from the first batch when
-    the table doesn't exist yet (sized with generous headroom;
-    :func:`ensure_blooms` re-sizes on overflow later)."""
+    the table doesn't exist yet (sized with generous headroom at the
+    configured ``fpr``; :func:`ensure_blooms` re-sizes on overflow later)."""
     from german_newspaper_crawler_spark.functions.hashing import hash64
 
     bucket = F.pmod(hash64(hash_col), F.lit(n_buckets)).cast("int")
-    if not store.exists("blooms"):
-        m, k = params_for(max(16 * new_hashes.count(), 4096), fpr=0.01)
+    head = (
+        store.read(spark, "blooms").select("m", "k").first()
+        if store.exists("blooms")
+        else None
+    )
+    if head is None:  # missing table, or a prior zero-row bootstrap commit
+        n = new_hashes.count()
+        if not n:
+            return
+        m, k = params_for(max(16 * n, 4096), fpr=fpr)
         store.append(
             "blooms", build_bloom(new_hashes, hash_col, bucket, m, k),
             op="bloom-rebuild",
         )
         return
-    head = store.read(spark, "blooms").select("m", "k").first()
     delta = build_bloom(new_hashes, hash_col, bucket, int(head["m"]), int(head["k"]))
     store.append("blooms", delta, op="bloom-delta")

@@ -101,7 +101,10 @@ def _with_buckets(
             return pd.Series([], dtype=object)
         m = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])  # (N, D)
         sims = np.einsum("nd,tpd->ntp", m, planes)  # (N, T, P)
-        codes = ((sims >= 0) @ pow2).astype(np.int32)  # (N, T)
+        # 9dp-quantize before the sign test: a near-zero plane dot can differ
+        # in the last ulp across summation orders (numpy gemm vs the oracle's
+        # list_dot_product) and flip a bucket bit — same rule both engines
+        codes = ((np.round(sims, 9) >= 0) @ pow2).astype(np.int32)  # (N, T)
         return pd.Series(list(codes))
 
     d = df.select(

@@ -646,7 +646,8 @@ def run_crawl(
                     )
 
                     update_blooms(
-                        spark, store, new_seen, n_buckets=cfg.bloom_buckets
+                        spark, store, new_seen, n_buckets=cfg.bloom_buckets,
+                        fpr=cfg.bloom_fpr,
                     )
             # 3) figures → image frontier rows (resolved against article url)
             if cfg.extract_images:

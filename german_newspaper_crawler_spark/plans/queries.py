@@ -799,7 +799,7 @@ def _lsh_bucket_union_sql(n_tables: int = 4, n_planes: int = 8, dim: int = 64) -
         for p in range(n_planes):
             lits = ",".join(repr(float(x)) for x in planes[tbl, p])
             terms.append(
-                f"(CASE WHEN list_dot_product(v, [{lits}]) >= 0 "
+                f"(CASE WHEN ROUND(list_dot_product(v, [{lits}]), 9) >= 0 "
                 f"THEN {1 << p} ELSE 0 END)"
             )
         expr = " + ".join(terms)

@@ -94,7 +94,13 @@ class SnapshotStore:
         def read_dirs(dirs: list[str]) -> DataFrame:
             paths = [os.path.join(tdir, d) for d in dirs]
             if not m.get("partition_spec"):
-                return spark.read.parquet(*paths)
+                if len(paths) == 1:
+                    return spark.read.parquet(*paths)
+                # schema evolution across snapshots (Iceberg add-column
+                # analog): merge footers so an added column reads as null
+                # on old files instead of being dropped by the sampled
+                # schema; compaction folds back to the single-dir fast path
+                return spark.read.option("mergeSchema", "true").parquet(*paths)
             # hive-partitioned snapshots: each snapshot dir is its own
             # partition root — read separately and union (Spark refuses
             # multi-root partition discovery); per-scan partition pruning
@@ -102,7 +108,9 @@ class SnapshotStore:
             out = None
             for p in paths:
                 part = spark.read.option("basePath", p).parquet(p)
-                out = part if out is None else out.unionByName(part)
+                out = part if out is None else out.unionByName(
+                    part, allowMissingColumns=True
+                )
             return out
 
         if not keys or not delta_dirs:
@@ -115,7 +123,9 @@ class SnapshotStore:
             part = spark.read.parquet(os.path.join(tdir, d)).withColumn(
                 "_snap_ord", F.lit(ord_)
             )
-            deltas = part if deltas is None else deltas.unionByName(part)
+            deltas = part if deltas is None else deltas.unionByName(
+                part, allowMissingColumns=True
+            )
         w = Window.partitionBy(*keys).orderBy(F.col("_snap_ord").desc())
         latest = (
             deltas.withColumn("_rn", F.row_number().over(w))
@@ -125,7 +135,9 @@ class SnapshotStore:
         if not base_dirs:
             return latest
         base = read_dirs(base_dirs)
-        return base.join(latest.select(*keys), keys, "left_anti").unionByName(latest)
+        return base.join(latest.select(*keys), keys, "left_anti").unionByName(
+            latest, allowMissingColumns=True
+        )
 
     def set_partition_spec(self, table: str, cols: list[str],
                            sort_cols: list[str] | None = None) -> None:
@@ -200,7 +212,18 @@ class SnapshotStore:
         commit must carry keys not present in any live delta — updates to an
         existing key go through ``merge_delta`` only. Run :meth:`compact`
         periodically to fold deltas back into one base file set.
+
+        Merge-key values must be NON-NULL: read-time resolution windows on
+        the keys, so a null-keyed row would land in the all-nulls window
+        partition and silently collapse to a single arbitrary survivor.
+        Enforced here with a plan-side filter (no extra action — counting
+        would re-execute the batch lineage, e.g. a fetch stage); null-keyed
+        rows are dropped at the write boundary instead of lost at read time.
         """
+        from pyspark.sql import functions as F
+
+        for kcol in keys:
+            batch = batch.where(F.col(kcol).isNotNull())
         snap = self._write_snapshot(table, batch)
         m = self._read_manifest(table)
         m["seq"] += 1

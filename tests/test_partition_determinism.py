@@ -28,6 +28,13 @@ RISKY = [
     "dedup_ngram_jaccard", "legacy_normalize_records", "ann_ivf_topk",
     "ann_lsh_topk", "g6x_phash_components_keepers", "o3_chunk_packing",
     "curation_pipeline", "dedup_embedding_lsh_pairs", "w1_a3_id_assignment",
+    # the 8 queries registered after the r2 driver snapshot — their first
+    # driver CORRECTNESS row lands in r3, so pre-clear the partitioning-
+    # sensitivity risks here (float agg order, window ties, two-phase cumsum)
+    "decontaminate_against_benchmark", "dedup_containment",
+    "pack_training_sequences", "sample_stratified_mix",
+    "text_charbigram_logprob", "text_redact_pii", "text_repetition_metrics",
+    "dedup_components_keepers",
 ]
 
 
