@@ -85,6 +85,80 @@ def banded_hamming_pairs(
     )
 
 
+def phash_suppress_near_dups(
+    batch: DataFrame,
+    seen: DataFrame | None,
+    id_col: str,
+    hash_col: str = "phash",
+    order_cols: list[str] | None = None,
+    max_hamming: int = 4,
+    n_bands: int = 4,
+    band_bits: int = 15,
+) -> DataFrame:
+    """Post-fetch pHash near-dup suppression — the crawl's G6 leg, the
+    distributed replacement for the reference's hash-membership skip
+    (``lib/common/web_requests.py:182-193``) generalized from exact sha256
+    equality to hamming ≤ t on the 64-bit pHash.
+
+    Two suppression sources, both through the banded-LSH candidate join
+    (shuffle keys are (band, 15-bit slice) — never an all-pairs compare):
+
+    * cross-round: batch rows within ``max_hamming`` of ANY hash in ``seen``
+      (the persistent accepted-phash side table),
+    * within-batch: rows within ``max_hamming`` of an EARLIER batch row by
+      ``order_cols`` (crawl pop order: priority, seq). Earlier-neighbor is a
+      superset of a sequential accept loop on chain cases (A~B~C with A≁C:
+      sequential re-accepts C, this suppresses it) — the deviation is
+      one-sided (never emits a duplicate the sequential loop would skip)
+      and deterministic in the explicit order key. For exact duplicates
+      (hamming 0) the two rules coincide.
+
+    Returns ``batch`` minus suppressed rows, schema unchanged.
+    """
+    mask = (1 << band_bits) - 1
+    order_cols = list(order_cols or [])
+    band_idx = F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("__b")
+
+    nb = batch.select(
+        F.col(id_col).alias("__bid"), F.col(hash_col).alias("__bh"),
+        *order_cols, band_idx,
+    ).withColumn("__bv", F.expr(f"shiftright(__bh, {band_bits} * __b) & {mask}"))
+    ham = F.bit_count(F.col("__bh").bitwiseXOR(F.col("__sh")))
+
+    hits = None
+    if seen is not None:
+        sb = (
+            seen.select(F.col(hash_col).alias("__sh")).distinct()
+            .select("__sh", band_idx)
+            .withColumn("__bv", F.expr(f"shiftright(__sh, {band_bits} * __b) & {mask}"))
+        )
+        hits = (
+            nb.join(sb, ["__b", "__bv"])
+            .where(ham <= max_hamming)
+            .select(F.col("__bid").alias(id_col))
+            .distinct()
+        )
+    if order_cols:
+        earlier = nb.select(
+            "__b", "__bv", F.col("__bh").alias("__sh"),
+            F.struct(*[F.col(c) for c in order_cols]).alias("__ord_a"),
+        )
+        later = nb.select(
+            "__b", "__bv", "__bh", "__bid",
+            F.struct(*[F.col(c) for c in order_cols]).alias("__ord_b"),
+        )
+        wb = (
+            later.join(earlier, ["__b", "__bv"])
+            .where((F.col("__ord_a") < F.col("__ord_b")) & (ham <= max_hamming))
+            .select(F.col("__bid").alias(id_col))
+            .distinct()
+        )
+        hits = wb if hits is None else hits.unionByName(wb).distinct()
+    if hits is None:
+        return batch
+    return batch.join(hits, id_col, "left_anti")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5,
     max_df: int | None = None,

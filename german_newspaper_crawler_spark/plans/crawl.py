@@ -61,6 +61,12 @@ class CrawlConfig:
     use_bloom: bool = False
     bloom_buckets: int = 16
     bloom_fpr: float = 0.01
+    # G6 in the crawl: suppress fetched images whose pHash is within this
+    # hamming radius of any previously ACCEPTED image (persistent seen_phash
+    # side table) or of an earlier image in the same batch — the distributed
+    # generalization of the reference's post-fetch exact-hash skip
+    # (web_requests.py:182-193). 0 falls back to exact-phash dedup only.
+    phash_max_hamming: int = 4
     pos_tag_cap: int = 50_000  # MAX_POS_TAG_ENTRIES (pos_tagging.py:13)
     pos_tag_skip: int = 200_000  # MAX_POS_TAG_TOKENS (pos_tagging.py:14)
     # fold accumulated frontier merge-deltas back into one base file set
@@ -73,6 +79,13 @@ class CrawlConfig:
     # run-log retention (reference logging.retentions_day analog): rotate
     # the logs table down to this many snapshots at run end; 0 disables
     log_keep_snapshots: int = 500
+    # T2 recurring-crawl semantics: re-enqueue the seed listing pages even
+    # when a frontier already exists (the reference is re-run on a schedule
+    # and always starts from the config seeds, scr:76). Article/image rows
+    # discovered from the re-fetched listings still pass through the seen /
+    # seen_phash anti-joins, so only genuinely new content lands. Off by
+    # default: a resumed SAME-run crawl must not re-fetch finished listings.
+    reseed_listings: bool = False
     # U2 strict reference parity: scope the seen anti-join to the current
     # collection/domain only, reproducing web_requests.py:222-229 where
     # known_hashes is REPLACED by the refreshed single-collection set after
@@ -499,6 +512,13 @@ def run_crawl(
     if not store.exists("frontier"):
         store.append("frontier", FR.frontier_from_seeds(seeds, cfg.n_buckets))
         runlog.info("driver", "frontier_seeded")
+    elif cfg.reseed_listings:
+        # recurring run: flip the seed listing rows back to pending via the
+        # same keyed merge the state transitions use (write ∝ |seeds|)
+        store.merge_delta(
+            "frontier", FR.frontier_from_seeds(seeds, cfg.n_buckets), keys=["url"]
+        )
+        runlog.info("driver", "frontier_reseeded")
     if not store.exists("seen"):
         store.append("seen", spark.createDataFrame([], schemas.SEEN))
 
@@ -539,6 +559,7 @@ def run_crawl(
         new_frontier: list[DataFrame] = []
         status_parts: list[DataFrame] = []  # (url, status) for state updates
         n_articles = n_images = 0
+        round_ts = cfg.parsed_ts or datetime.utcnow()  # F10 injected clock
 
         # 1) listings → fused fetch+anchor-extract → frontier refill
         listings = work.where(F.col("kind") == "listing")
@@ -689,17 +710,45 @@ def run_crawl(
             imgs = img_out.where(F.col("bytes").isNotNull()).select(
                 *[f.name for f in schemas.IMAGES.fields], "priority", "seq"
             )
-            if store.exists("images"):
-                existing = store.read(spark, "images").select("phash").distinct()
-                imgs = imgs.join(existing, "phash", "left_anti")
-            imgs = FR.first_occurrence_dedup(
-                imgs.withColumn("sel_rank", F.col("priority"))
-                .withColumn("doc_pos", F.col("seq")),
-                url_col="phash",
-            ).select(*[f.name for f in schemas.IMAGES.fields])
+            if cfg.phash_max_hamming > 0:
+                from german_newspaper_crawler_spark.operators.dedup import (
+                    phash_suppress_near_dups,
+                )
+
+                seen_ph = None
+                if store.exists("seen_phash"):
+                    seen_ph = store.read(spark, "seen_phash")
+                elif store.exists("images"):
+                    # migrate an exact-dedup-era store: bootstrap the narrow
+                    # side table from the accepted images' phashes once
+                    seen_ph = store.read(spark, "images").select(
+                        "phash", F.lit(round_ts).alias("added_at")
+                    ).distinct()
+                    store.append("seen_phash", seen_ph)
+                imgs = phash_suppress_near_dups(
+                    imgs, seen_ph, id_col="image_id", hash_col="phash",
+                    order_cols=["priority", "seq"],
+                    max_hamming=cfg.phash_max_hamming,
+                ).select(*[f.name for f in schemas.IMAGES.fields])
+            else:
+                if store.exists("images"):
+                    existing = store.read(spark, "images").select("phash").distinct()
+                    imgs = imgs.join(existing, "phash", "left_anti")
+                imgs = FR.first_occurrence_dedup(
+                    imgs.withColumn("sel_rank", F.col("priority"))
+                    .withColumn("doc_pos", F.col("seq")),
+                    url_col="phash",
+                ).select(*[f.name for f in schemas.IMAGES.fields])
             n_images = imgs.count()
             if n_images:
                 store.append("images", imgs)
+                if cfg.phash_max_hamming > 0:
+                    store.append(
+                        "seen_phash",
+                        imgs.select(
+                            "phash", F.lit(round_ts).alias("added_at")
+                        ).distinct(),
+                    )
 
         # 5) frontier state transitions + refill. State transitions go through
         # merge_delta (write ∝ popped-batch size, never a full-frontier

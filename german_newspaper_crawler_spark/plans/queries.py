@@ -646,6 +646,61 @@ def g6_phash_banded_neardup(spark, sf_dir):
     )
 
 
+@register(
+    "g6y_phash_seen_suppression",
+    "G6 in the crawl, batch form (operators/dedup.py::"
+    "phash_suppress_near_dups — the exact operator run_crawl's image leg "
+    "wires against the persistent seen_phash table): new-batch rows are "
+    "dropped when within hamming<=4 of ANY seen phash (cross-round) or of "
+    "an earlier batch row by the order key (within-batch, earlier-neighbor "
+    "rule). Synthetic groups of 4 phashes around a shared base; every third "
+    "group has its base member pre-seeded, exercising both legs.",
+    oracle=f"""
+    WITH ph AS (
+      SELECT doc_id,
+             xor({hash64_sql("CAST(doc_id // 4 AS VARCHAR)")}, doc_id % 4) AS phash
+      FROM documents),
+    seen AS (SELECT phash FROM ph WHERE doc_id % 4 = 0 AND (doc_id // 4) % 3 = 0),
+    batch AS (SELECT doc_id, phash FROM ph WHERE doc_id % 4 <> 0),
+    bb AS (
+      SELECT doc_id, phash, b, (phash >> (15 * CAST(b AS INT))) & 32767 AS bv
+      FROM batch, unnest([0, 1, 2, 3]) AS u(b)),
+    sb AS (
+      SELECT phash, b, (phash >> (15 * CAST(b AS INT))) & 32767 AS bv
+      FROM seen, unnest([0, 1, 2, 3]) AS u(b)),
+    cross_hits AS (
+      SELECT DISTINCT bb.doc_id FROM bb JOIN sb ON bb.b = sb.b AND bb.bv = sb.bv
+      WHERE bit_count(xor(bb.phash, sb.phash)) <= 4),
+    wb_hits AS (
+      SELECT DISTINCT y.doc_id FROM bb x JOIN bb y ON x.b = y.b AND x.bv = y.bv
+      WHERE x.doc_id < y.doc_id AND bit_count(xor(x.phash, y.phash)) <= 4),
+    hits AS (SELECT doc_id FROM cross_hits UNION SELECT doc_id FROM wb_hits)
+    SELECT b.doc_id, b.phash FROM batch b
+    LEFT JOIN hits h ON h.doc_id = b.doc_id WHERE h.doc_id IS NULL
+    """,
+)
+def g6y_phash_seen_suppression(spark, sf_dir):
+    from german_newspaper_crawler_spark.operators.dedup import (
+        phash_suppress_near_dups,
+    )
+
+    ph = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        hash64(F.floor(F.col("doc_id") / 4).cast("long").cast("string"))
+        .bitwiseXOR(F.col("doc_id") % 4)
+        .alias("phash"),
+    )
+    seen = ph.where(
+        (F.col("doc_id") % 4 == 0)
+        & (F.floor(F.col("doc_id") / 4) % 3 == 0)
+    ).select("phash")
+    batch = ph.where(F.col("doc_id") % 4 != 0)
+    return phash_suppress_near_dups(
+        batch, seen, id_col="doc_id", hash_col="phash",
+        order_cols=["doc_id"], max_hamming=4,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dedup suite (graft, training-data ops)
 # ---------------------------------------------------------------------------

@@ -117,6 +117,18 @@ SEEN = StructType(
     ]
 )
 
+# Accepted-image pHash side table — graft G6-in-the-crawl: the narrow
+# persistent set new image batches anti-join against (hamming <= t), the
+# pHash analog of the `seen` URL-hash table. Kept separate from `images`
+# so the per-round membership scan never touches the wide bytes column
+# or the images table's snapshot metadata.
+SEEN_PHASH = StructType(
+    [
+        StructField("phash", LongType(), False),
+        StructField("added_at", TimestampType()),
+    ]
+)
+
 # robots.txt cache — graft G2, no reference analog (reference fetches
 # unconditionally, lib/common/web_requests.py:15-20).
 ROBOTS = StructType(

@@ -165,10 +165,24 @@ def test_image_invariants(spark, fixture_data, crawl_result):
     # phash uniqueness (exact-dup suppression)
     assert imgs["phash"].nunique() == len(imgs)
     # blobs of the deliberately-failed article (a5, status 500) are never
-    # discovered; everything else must be present exactly once per phash
+    # discovered; everything else is either accepted or a pHash near-dup
+    # (hamming <= cfg.phash_max_hamming) of an accepted image — the G6
+    # suppression the fixture plants deliberately (img/2_1 jpeg re-encode of
+    # img/0_0, img/4_1 noise variant; both within hamming 2)
     reachable = {u: b for u, b in blobs.items() if "/img/5_" not in u}
-    expected_distinct = len({phash64(decode_image(b)) for b in reachable.values()})
-    assert len(imgs) == expected_distinct
+    reach_ph = {u: phash64(decode_image(b)) for u, b in reachable.items()}
+    accepted = list(imgs["phash"])
+    t_ham = cfg.phash_max_hamming
+    # accepted set is pairwise separated (earlier-neighbor rule invariant)
+    for i, pa in enumerate(accepted):
+        for pb in accepted[i + 1:]:
+            assert bin(pa ^ pb).count("1") > t_ham, (pa, pb)
+    # coverage: every reachable image is represented within the radius
+    for u, p in reach_ph.items():
+        assert any(bin(p ^ q).count("1") <= t_ham for q in accepted), u
+    # the planted cluster {0_0, 2_1, 4_1} keeps exactly one member → 2 fewer
+    # rows than the distinct-phash count
+    assert len(imgs) == len(set(reach_ph.values())) - 2
     for row in imgs.itertuples(index=False):
         t = truth[row.image_id]
         assert row.caption == t["caption"], row.image_id
@@ -373,3 +387,76 @@ def test_full_feature_matrix_crawl_matches_plain(spark, tmp_path):
     assert full_store.exists("robots") and full_store.exists("blooms")
     ops = [s["op"] for s in full_store._read_manifest("frontier")["snapshots"]]
     assert "merge-delta" in ops and "compact" in ops and "overwrite" not in ops
+
+
+def test_phash_near_dup_suppressed_across_rounds(spark, tmp_path):
+    """G6 in the crawl (VERDICT r2 #4 / north_star): an image re-crawled in a
+    LATER RUN under a new URL whose pHash is within hamming <= t of an image
+    accepted in an earlier run is suppressed via the persistent seen_phash
+    side table — the pHash generalization of the reference's cross-run
+    MongoDB hash skip (web_requests.py:182-193)."""
+    from german_newspaper_crawler_spark.fixtures import make_image
+    from german_newspaper_crawler_spark.functions.codec import (
+        decode_image, encode_image,
+    )
+    from german_newspaper_crawler_spark.functions.phash import phash64
+
+    seeds, pages, blobs, _ = make_fixtures(
+        n_hosts=1, articles_per_host=3, figs_per_article=1
+    )
+    seeds_df = spark.createDataFrame(
+        [(s["domain"], s["base_url"], s["host"], s["collection"]) for s in seeds],
+        ["domain", "base_url", "host", "collection"],
+    )
+    store = SnapshotStore(str(tmp_path / "store"))
+    cfg = CrawlConfig(n_buckets=8, max_rounds=6, parsed_ts=PARSED_TS)
+    run_crawl(spark, store, seeds_df, table_fetcher(pages, blobs), cfg=cfg)
+    first = {r["phash"] for r in store.read(spark, "images").collect()}
+    assert first and store.exists("seen_phash")
+
+    # second run: one NEW article page carrying a noise-perturbed re-encode
+    # of the first accepted image (hamming <= 4, not equal) plus one
+    # genuinely new image — only the latter may land
+    host = seeds[0]["host"]
+    src_url = next(u for u in sorted(blobs) if "/img/0_0" in u)
+    base_rgb = decode_image(blobs[src_url])
+    base_ph = phash64(base_rgb)
+    near_rgb = None
+    for amp in range(4, 64, 2):  # escalate until the pHash moves 1..4 bits
+        rng = np.random.default_rng(7 + amp)
+        cand = np.clip(
+            base_rgb.astype(np.int16) + rng.integers(-amp, amp + 1, base_rgb.shape),
+            0, 255,
+        ).astype(np.uint8)
+        if 0 < bin(phash64(cand) ^ base_ph).count("1") <= 4:
+            near_rgb = cand
+            break
+    assert near_rgb is not None, "could not synthesize a near-dup fixture"
+    fresh_rgb = make_image(987654)
+    pages[f"https://{host}/"] = (
+        200,
+        '<html><body><a class="teaser-link" href="/artikel/neu1">Neu eins</a>'
+        "</body></html>",
+    )
+    pages[f"https://{host}/artikel/neu1"] = (
+        200,
+        "<html><body><h1>Neu</h1><p>Inhalt neu und mehr davon.</p>"
+        '<figure><img src="/img/neu_a.png"><figcaption>Wieder da</figcaption></figure>'
+        '<figure><img src="/img/neu_b.png"><figcaption>Wirklich neu</figcaption></figure>'
+        "</body></html>",
+    )
+    blobs[f"https://{host}/img/neu_a.png"] = encode_image(near_rgb, "png")
+    blobs[f"https://{host}/img/neu_b.png"] = encode_image(fresh_rgb, "png")
+    cfg2 = CrawlConfig(
+        n_buckets=8, max_rounds=6, parsed_ts=PARSED_TS, reseed_listings=True
+    )
+    run_crawl(
+        spark, SnapshotStore(str(tmp_path / "store")), seeds_df,
+        table_fetcher(pages, blobs), cfg=cfg2, run_id="run-2",
+    )
+    after = {
+        r["caption"]: r["phash"] for r in store.read(spark, "images").collect()
+    }
+    assert "Wirklich neu" in after
+    assert "Wieder da" not in after  # near-dup suppressed across runs
+    assert len(after) == len(first) + 1

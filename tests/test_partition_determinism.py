@@ -35,6 +35,8 @@ RISKY = [
     "pack_training_sequences", "sample_stratified_mix",
     "text_charbigram_logprob", "text_redact_pii", "text_repetition_metrics",
     "dedup_components_keepers",
+    # r3: the crawl image leg's suppression operator, batch form
+    "g6y_phash_seen_suppression",
 ]
 
 
