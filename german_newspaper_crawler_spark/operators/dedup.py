@@ -159,6 +159,70 @@ def phash_suppress_near_dups(
     return batch.join(hits, id_col, "left_anti")
 
 
+def _capped_inverted_index(sh: DataFrame, id_col: str, max_df: int):
+    """Shared df-capped inverted-index core: (common, sizes) where ``common``
+    is (a, b, c=|A∩B|) over shingles with df in [2, max_df] and ``sizes`` is
+    the per-doc count of df ≤ max_df shingles (incl. singletons).
+
+    ``sh`` is consumed by three subplans (df counts, per-doc sizes, posting
+    lists), so callers persist it — one explode, three cheap scans, all
+    inside the single final job (Spark's block manager materializes the
+    cache at first use and later stages read it).
+
+    Pass 1: df counts per shingle — partial-aggregatable (map-side combine),
+    NOT a collect_list over the (overwhelmingly singleton) posting lists.
+    Pass 2: only shingles with df in [2, max_df] — a tiny, broadcast-sized
+    key set on real corpora — build sorted posting lists and emit their
+    ≤ k²/2 pairs JVM-side.
+    """
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("__df"))
+    overcap = dfreq.where(F.col("__df") > max_df).select("shingle")
+    shared = dfreq.where(
+        (F.col("__df") >= 2) & (F.col("__df") <= max_df)
+    ).select("shingle")
+    sizes = (
+        sh.join(overcap, "shingle", "left_anti")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_sh"))
+    )
+    groups = (
+        sh.join(shared, "shingle", "left_semi")
+        .groupBy("shingle")
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ds"))
+    )
+    pair_structs = F.expr(
+        """flatten(transform(sequence(1, size(ds) - 1),
+             i -> transform(slice(ds, i + 1, size(ds) - i),
+               y -> struct(element_at(ds, i) AS a, y AS b))))"""
+    )
+    common = (
+        groups.select(F.explode(pair_structs).alias("p"))
+        .select("p.a", "p.b")
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("c"))
+    )
+    return common, sizes
+
+
+def _hashed_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """Shingles keyed by xxhash64 — 8-byte shuffle/cache keys instead of
+    ~30-byte strings (the payload that dominates the shuffle at corpus
+    scale). Deterministic, so results are stable run-to-run; a 64-bit
+    collision merges two shingles (P ≈ n²/2⁶⁵ — immaterial next to the
+    near-dup thresholds, and the universal trade every MinHash-family
+    system makes). Lazily persisted: one explode feeds the three
+    inverted-index scans within the final job."""
+    from pyspark import StorageLevel
+
+    return (
+        word_shingles(df, id_col, text_col, n)
+        .select(id_col, F.xxhash64("shingle").alias("shingle"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5,
     max_df: int | None = None,
@@ -176,42 +240,9 @@ def ngram_jaccard_pairs(
     shingles — the standard near-dup practice); high-df shingles carry no
     near-dup signal anyway. At 10^8 docs, max_df ≈ max(1000, 0.001% of N).
     """
-    sh = word_shingles(df, id_col, text_col, n)
     if max_df is not None:
-        # Inverted index in two cheap passes. Pass 1: df counts per shingle
-        # — a partial-aggregatable count (map-side combine), NOT a
-        # collect_list over the (overwhelmingly singleton) posting lists.
-        # Pass 2: only shingles with df in [2, max_df] — a tiny,
-        # broadcast-sized key set on real corpora — build sorted posting
-        # lists and emit their ≤ k²/2 pairs JVM-side. Per-doc sizes count
-        # every df ≤ max_df shingle (incl. singletons) via a broadcast
-        # anti-join of the (even tinier) over-cap key set.
-        dfreq = sh.groupBy("shingle").agg(F.count("*").alias("__df"))
-        overcap = dfreq.where(F.col("__df") > max_df).select("shingle")
-        shared = dfreq.where(
-            (F.col("__df") >= 2) & (F.col("__df") <= max_df)
-        ).select("shingle")
-        sizes = (
-            sh.join(overcap, "shingle", "left_anti")
-            .groupBy(id_col)
-            .agg(F.count("*").alias("n_sh"))
-        )
-        groups = (
-            sh.join(shared, "shingle", "left_semi")
-            .groupBy("shingle")
-            .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ds"))
-        )
-        pair_structs = F.expr(
-            """flatten(transform(sequence(1, size(ds) - 1),
-                 i -> transform(slice(ds, i + 1, size(ds) - i),
-                   y -> struct(element_at(ds, i) AS a, y AS b))))"""
-        )
-        common = (
-            groups.select(F.explode(pair_structs).alias("p"))
-            .select("p.a", "p.b")
-            .groupBy("a", "b")
-            .agg(F.count("*").alias("c"))
-        )
+        sh = _hashed_shingles(df, id_col, text_col, n)
+        common, sizes = _capped_inverted_index(sh, id_col, max_df)
         sa = sizes.select(F.col(id_col).alias("a"), F.col("n_sh").alias("na"))
         sb = sizes.select(F.col(id_col).alias("b"), F.col("n_sh").alias("nb"))
         jac = F.round(
@@ -226,6 +257,7 @@ def ngram_jaccard_pairs(
             .where(F.col("jaccard") >= threshold)
             .select("a", "b", "jaccard")
         )
+    sh = word_shingles(df, id_col, text_col, n)
     # uncapped path: classic inverted-index self-join — per-group memory
     # stays O(1) even for degenerate mega-postings (but set max_df at scale)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
@@ -347,22 +379,20 @@ def containment_pairs(
     ``max_df`` stop-shingle cap); never pair enumeration. Output:
     (inner, outer, containment[6dp]).
     """
-    sh = word_shingles(df, id_col, text_col, n)
     if max_df is not None:
-        keep = (
-            sh.groupBy("shingle").agg(F.count("*").alias("__df"))
-            .where(F.col("__df") <= max_df).select("shingle")
+        sh = _hashed_shingles(df, id_col, text_col, n)
+        common, sizes = _capped_inverted_index(sh, id_col, max_df)
+    else:
+        sh = word_shingles(df, id_col, text_col, n)
+        sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+        a = sh.select(F.col(id_col).alias("a"), "shingle")
+        b = sh.select(F.col(id_col).alias("b"), "shingle")
+        common = (
+            a.join(b, "shingle")
+            .where(F.col("a") < F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.count("*").alias("c"))
         )
-        sh = sh.join(keep, "shingle")
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("a"), "shingle")
-    b = sh.select(F.col(id_col).alias("b"), "shingle")
-    common = (
-        a.join(b, "shingle")
-        .where(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count("*").alias("c"))
-    )
     sa = sizes.select(F.col(id_col).alias("a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col(id_col).alias("b"), F.col("n_sh").alias("nb"))
     both = common.join(sa, "a").join(sb, "b")
