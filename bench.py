@@ -186,6 +186,7 @@ def crawl_stage_bench(spark, n_urls: int, n_partitions: int) -> dict:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--crawl-stage", action="store_true")
+    ap.add_argument("--n-partitions", type=int, default=None)
     ap.add_argument("--n-urls", type=int, default=64_000)
     ap.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args()
@@ -227,7 +228,7 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
 
     if args.crawl_stage:
-        res = crawl_stage_bench(spark, args.n_urls, n_partitions=max(cpus, 16))
+        res = crawl_stage_bench(spark, args.n_urls, n_partitions=args.n_partitions or max(cpus, 16))
         print(json.dumps({"mode": "crawl-stage", "cpus": cpus, **res}))
         spark.stop()
         return
@@ -259,6 +260,7 @@ def main():
                     force(spec.spark(spark, warm_sf))
                 except Exception as exc:  # warmup must never fail the bench
                     print(f"warmup {name}: {exc}", file=sys.stderr)
+    spark.catalog.clearCache()
 
     times: dict[str, float] = {}
     total = 0.0
@@ -270,6 +272,10 @@ def main():
         dt = round(time.monotonic() - t0, 3)
         times[name] = dt
         total += dt
+        # queries that persist intermediates (shingle caches) must not leak
+        # block-manager memory into the next measurement — drop between
+        # queries, outside the timed window (each query builds its own cache)
+        spark.catalog.clearCache()
 
     t0 = time.monotonic()
     crawl = crawl_stage_bench(spark, args.n_urls, n_partitions=max(cpus, 16))
