@@ -22,6 +22,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 from datetime import datetime
+from functools import reduce
+from operator import and_
 from typing import Iterator
 
 import pandas as pd
@@ -476,13 +478,34 @@ def skip_known(
     if scope_col:
         sel.append(F.col(scope_col).alias("__scope"))
     seen_h = seen.select(*sel).distinct()
-    out = articles
-    for c in ["content_hash", "url_hash", "text_content_hash"]:
-        cond = out[c] == seen_h["h"]
-        if scope_col:
-            cond = cond & (out[scope_col] == seen_h["__scope"])
-        out = out.join(seen_h, cond, "left_anti")
-    return out
+
+    # Narrow-probe, join-back-once. The drop decision is a pure function of
+    # the (content_hash, url_hash, text_content_hash[, scope]) tuple, so:
+    # (1) unpivot just those columns to (tuple, h) rows and ONE semi-join
+    # against seen — only ~100-byte keys shuffle; (2) anti-join the fat
+    # article rows (html_gz + text + figures) against the matched-tuple set,
+    # null-safe on every key. The hit set is tiny in steady state (popped
+    # urls already anti-joined the frontier's seen) — AQE broadcasts it and
+    # the payload never shuffles at all; worst case (refresh re-crawl) it is
+    # bounded by the round's pop budget and the payload shuffles ONCE
+    # instead of three times. A chained per-column anti-join would exchange
+    # + sort the full payload on three different keys (measured plan: 3×
+    # SortMergeJoin LeftAnti, each with its own fat-row Exchange).
+    key_cols = ["content_hash", "url_hash", "text_content_hash"]
+    if scope_col:
+        key_cols.append(scope_col)
+    probe = articles.select(*key_cols).select(
+        *key_cols,
+        F.explode(
+            F.array("content_hash", "url_hash", "text_content_hash")
+        ).alias("__h"),
+    )
+    cond = probe["__h"] == seen_h["h"]
+    if scope_col:
+        cond = cond & (probe[scope_col] == seen_h["__scope"])
+    hits = probe.join(seen_h, cond, "left_semi").select(*key_cols).distinct()
+    back = [articles[c].eqNullSafe(hits[c]) for c in key_cols]
+    return articles.join(hits, reduce(and_, back), "left_anti")
 
 
 # --- the driver loop -------------------------------------------------------------

@@ -90,8 +90,12 @@ def test_frontier_merge_on_read_broadcasts_delta(spark, tmp_path):
 
 
 def test_seen_anti_join_is_hash_join_not_nested_loop(spark):
-    """skip_known's 3-variant anti-joins must be equi-hash joins (the
-    content-hash keys are uniform 64-hex — AQE skew-safe)."""
+    """skip_known must be keyed joins only (no cartesian), AND the fat
+    article payload may appear in exactly ONE anti-join: the three hash
+    variants are probed via an unpivoted narrow semi-join against seen,
+    then the payload anti-joins the matched-tuple set once. Three chained
+    per-column anti-joins would exchange+sort the html_gz/text payload on
+    three different keys."""
     from german_newspaper_crawler_spark.plans.crawl import skip_known
 
     arts = spark.range(1000).selectExpr(
@@ -99,13 +103,12 @@ def test_seen_anti_join_is_hash_join_not_nested_loop(spark):
         "concat('t', id) AS text_content_hash", "'d' AS domain",
     )
     seen = spark.range(100).selectExpr("concat('h', id) AS content_hash", "'d' AS domain")
-    plan = _plan_of(skip_known(arts, seen))
-    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
-    assert plan.count("LeftAnti") == 3, plan
-    # strict mode keeps the joins keyed too (hash AND scope are equi-conds)
-    plan_s = _plan_of(skip_known(arts, seen, scope_col="domain"))
-    assert "BroadcastNestedLoopJoin" not in plan_s and "CartesianProduct" not in plan_s
-    assert plan_s.count("LeftAnti") == 3, plan_s
+    for scope in (None, "domain"):
+        plan = _plan_of(skip_known(arts, seen, scope_col=scope))
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert plan.count("LeftAnti") == 1, plan
+        assert plan.count("LeftSemi") == 1, plan
 
 
 def test_pack_sequences_has_no_window(spark):
