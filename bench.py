@@ -132,7 +132,8 @@ def crawl_stage_bench(spark, n_urls: int, n_partitions: int) -> dict:
     batch = pop_batch(frontier.withColumn("round", F.lit(0)), None)
     parsed = article_identity(
         fetch_parse_articles_stage(batch, synth_fetcher, n_partitions=n_partitions)
-    )
+    ).cache()  # skip_known consumes its input twice (probe + join-back) —
+    # cache exactly as run_crawl does so fetch+parse runs once
     final = skip_known(parsed, seen)
     out = final.select(
         "url", "content_hash", "autor", "category", "published_date",

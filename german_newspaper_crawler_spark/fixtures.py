@@ -20,10 +20,13 @@ from german_newspaper_crawler_spark.functions.codec import encode_image
 def make_image(seed: int, size: int = 64, noise: int = 0) -> np.ndarray:
     """Low-frequency deterministic RGB image (stable under pHash)."""
     rng = np.random.default_rng(seed)
-    base = rng.integers(0, 256, (8, 8, 3)).astype(np.float64)
-    img = np.kron(base, np.ones((size // 8, size // 8, 1)))
-    if noise:
-        img = img + rng.integers(-noise, noise + 1, img.shape)
+    base = rng.integers(0, 256, (8, 8, 3))
+    k = size // 8
+    if not noise:
+        # exact uint8 equivalent of kron(base, ones(k,k,1)) — no float pass
+        return base.astype(np.uint8).repeat(k, axis=0).repeat(k, axis=1)
+    img = np.kron(base.astype(np.float64), np.ones((k, k, 1)))
+    img = img + rng.integers(-noise, noise + 1, img.shape)
     return img.clip(0, 255).astype(np.uint8)
 
 

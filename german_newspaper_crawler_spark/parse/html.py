@@ -48,15 +48,23 @@ def extract_anchors(html: str) -> list[tuple[str, str, int, int]]:
         lambda a: (a.get("href") or "").startswith("http"),
     ]
     out: list[tuple[str, str, int, int]] = []
+    text_of: dict[int, str] = {}  # an anchor can match several rungs
+
+    def _text(a: Node) -> str:
+        t = text_of.get(a.pos)
+        if t is None:
+            t = text_of[a.pos] = a.get_text(" ", strip=True) or ""
+        return t
+
     for rank, sel in enumerate(selectors):
         for a in all_a:
             href = a.get("href")
             if href and sel(a):
-                out.append((href, a.get_text(" ", strip=True) or "", rank, a.pos))
+                out.append((href, _text(a), rank, a.pos))
     if not out:
         for a in all_a:
             if "href" in a.attrs:
-                out.append((a.attrs["href"], a.get_text(" ", strip=True) or "", 6, a.pos))
+                out.append((a.attrs["href"], _text(a), 6, a.pos))
     return out
 
 
@@ -144,32 +152,43 @@ _BODY_CANDIDATES = [
 ]
 
 
+# candidates bucketed by tag so the document scan is one dict probe per node
+_BODY_BY_TAG: dict[str, list[tuple[int, dict]]] = {}
+for _rank, (_tag, _spec) in enumerate(_BODY_CANDIDATES):
+    _BODY_BY_TAG.setdefault(_tag, []).append((_rank, _spec))
+
+
+def _paragraphs_of(container: Node) -> list[str]:
+    out = []
+    for p in container.find_all("p"):
+        t = p.get_text(" ", strip=True)
+        if t:
+            out.append(_ws(t))
+    return out
+
+
 def extract_body_text(root: Node) -> str:
-    for tag, spec in _BODY_CANDIDATES:
-        container = None
-        for n in root.iter():
-            if n.tag != tag:
-                continue
-            if "class_token" in spec and not _cls_token(n, spec["class_token"]):
-                continue
-            if "id" in spec and n.attrs.get("id") != spec["id"]:
-                continue
-            container = n
-            break
-        if container:
-            paragraphs = [
-                _ws(p.get_text(" ", strip=True))
-                for p in container.find_all("p")
-                if p.get_text(" ", strip=True)
-            ]
-            if paragraphs:
-                return "\n\n".join(paragraphs)
-    paragraphs = [
-        _ws(p.get_text(" ", strip=True))
-        for p in root.find_all("p")
-        if p.get_text(" ", strip=True)
-    ]
-    return "\n\n".join(paragraphs)
+    """Ladder semantics (taz.py:264-299): first candidate, in ladder order,
+    whose matched container (first in document order) yields non-empty
+    paragraphs; else all <p> in the document. One scan per candidate TAG
+    (3 tags — each a C-filtered subtree walk on the expat path) instead of
+    one full-document rescan per ladder rung."""
+    first_match: dict[int, Node] = {}
+    for tag, specs in _BODY_BY_TAG.items():
+        for n in root.find_all(tag):  # document order → first hit per rank
+            for rank, spec in specs:
+                if rank in first_match:
+                    continue
+                if "class_token" in spec and not _cls_token(n, spec["class_token"]):
+                    continue
+                if "id" in spec and n.attrs.get("id") != spec["id"]:
+                    continue
+                first_match[rank] = n
+    for rank in sorted(first_match):
+        paragraphs = _paragraphs_of(first_match[rank])
+        if paragraphs:
+            return "\n\n".join(paragraphs)
+    return "\n\n".join(_paragraphs_of(root))
 
 
 # --- figures (graft G5 — image+caption pairs; no reference analog;

@@ -97,6 +97,9 @@ class Node:
     def get_text(self, sep: str = " ", strip: bool = True) -> str:
         """bs4 get_text(sep, strip=True): strip each text node, drop empties,
         join with sep. Iterative (this is inside the per-anchor hot loop)."""
+        ch = self.children
+        if len(ch) == 1 and type(ch[0]) is str:  # leaf text — hottest shape
+            return ch[0].strip() if strip else ch[0]
         parts: list[str] = []
         stack: list = [self]
         while stack:
@@ -204,24 +207,205 @@ _DOCTYPE_RE = _re.compile(r"<!DOCTYPE[^>]*>", _re.IGNORECASE)
 _AMP_RE = _re.compile(r"&(?!(?:[a-zA-Z]+|#[0-9]+|#x[0-9a-fA-F]+);)")
 
 
-def _et_to_node(elem, parent: Node, doc: list[Node]) -> Node:
-    node = Node(elem.tag.lower(), {k.lower(): v for k, v in elem.attrib.items()},
-                parent, len(doc) + 1)
-    node._doc = doc
-    node._idx = len(doc)
-    doc.append(node)
-    if elem.text:
-        node.children.append(elem.text)
-    for child in elem:
-        cn = _et_to_node(child, node, doc)
-        node.children.append(cn)
-        if child.tail:
-            node.children.append(child.tail)
-    node._end = len(doc)
-    return node
+class EDoc:
+    """Shared per-document state for the lazy ElementTree view: the flat
+    pre-order element list (C-built via ``Element.iter``), lowered tags, and
+    lazily-built position / parent maps. No per-node Python object is created
+    at parse time — ``ENode`` wrappers materialize only for query HITS, so a
+    2000-node page pays ~zero conversion cost (the eager ``_et_to_node``
+    recursion this replaces was ~30% of the whole parse)."""
+
+    __slots__ = ("root_elem", "elems", "tags", "all_lower", "_pos", "_parent")
+
+    def __init__(self, et_root):
+        self.root_elem = et_root
+        elems = list(et_root.iter())
+        elems.pop(0)  # drop the synthetic <__root__> wrapper
+        self.elems = elems
+        raw = [e.tag for e in elems]
+        self.tags = [t.lower() for t in raw]
+        self.all_lower = raw == self.tags
+        self._pos = None
+        self._parent = None
+
+    def pos_of(self, elem) -> int:
+        if self._pos is None:
+            self._pos = {id(e): i + 1 for i, e in enumerate(self.elems)}
+        return self._pos.get(id(elem), 0)
+
+    def parent_of(self, elem):
+        if self._parent is None:
+            pm = {}
+            for p in self.root_elem.iter():
+                for c in p:
+                    pm[id(c)] = p
+            self._parent = pm
+        return self._parent.get(id(elem))
 
 
-def parse_html(html: str) -> Node:
+def _aget(elem, name: str):
+    """Case-insensitive attribute get with a C-dict fast path (markup is
+    overwhelmingly lowercase; the loop only runs on a miss)."""
+    a = elem.attrib
+    v = a.get(name)
+    if v is None and a:
+        for k in a:
+            if k.lower() == name:
+                return a[k]
+    return v
+
+
+def _ematch(elem, pred: dict) -> bool:
+    for k, v in pred.items():
+        if k == "class_fragment":
+            c = _aget(elem, "class")
+            if not c or v not in c:
+                return False
+        elif k == "attrs":
+            for ak, av in v.items():
+                if _aget(elem, ak) != av:
+                    return False
+        elif k == "has_attr":
+            if _aget(elem, v) is None:
+                return False
+        else:
+            raise TypeError(f"unknown predicate {k}")
+    return True
+
+
+class ENode:
+    """Node-API-compatible lazy wrapper over an ElementTree Element."""
+
+    __slots__ = ("e", "doc")
+
+    def __init__(self, e, doc: EDoc):
+        self.e = e
+        self.doc = doc
+
+    @property
+    def tag(self) -> str:
+        return self.e.tag.lower()
+
+    @property
+    def pos(self) -> int:
+        return self.doc.pos_of(self.e)
+
+    @property
+    def attrs(self) -> dict:
+        return {k.lower(): v for k, v in self.e.attrib.items()}
+
+    @property
+    def parent(self):
+        p = self.doc.parent_of(self.e)
+        if p is None or p is self.doc.root_elem:
+            return None
+        return ENode(p, self.doc)
+
+    def _subtree(self, tag: str | None):
+        """Pre-order subtree elements (self excluded), C-filtered by tag
+        when the document is all-lowercase."""
+        if tag and self.doc.all_lower:
+            it = iter(self.e.iter(tag))
+            if self.e.tag == tag:  # filtered iter includes self only on match
+                next(it, None)
+            return it
+        it = iter(self.e.iter())
+        next(it, None)  # unfiltered iter always starts with self
+        return it
+
+    def find_all(self, tag: str | tuple[str, ...] | None = None, **pred):
+        tags = (tag,) if isinstance(tag, str) else tag
+        single = tags[0] if tags and len(tags) == 1 else None
+        need_tag_check = tags and (single is None or not self.doc.all_lower)
+        doc = self.doc
+        if not pred:  # hot shape: find_all("p") / ("figure") / ("a")
+            if need_tag_check:
+                return [ENode(c, doc) for c in self._subtree(single)
+                        if c.tag.lower() in tags]
+            return [ENode(c, doc) for c in self._subtree(single)]
+        frag = pred.get("class_fragment") if len(pred) == 1 else None
+        out = []
+        for c in self._subtree(single):
+            if need_tag_check and c.tag.lower() not in tags:
+                continue
+            if frag is not None:  # hot shape: class_fragment-only predicate
+                cls = c.attrib.get("class")
+                if cls is None and c.attrib:
+                    cls = _aget(c, "class")
+                if not cls or frag not in cls:
+                    continue
+            elif not _ematch(c, pred):
+                continue
+            out.append(ENode(c, doc))
+        return out
+
+    def find(self, tag=None, **pred):
+        tags = (tag,) if isinstance(tag, str) else tag
+        single = tags[0] if tags and len(tags) == 1 else None
+        need_tag_check = tags and (single is None or not self.doc.all_lower)
+        frag = pred.get("class_fragment") if len(pred) == 1 else None
+        for c in self._subtree(single):
+            if need_tag_check and c.tag.lower() not in tags:
+                continue
+            if frag is not None:
+                cls = c.attrib.get("class")
+                if cls is None and c.attrib:
+                    cls = _aget(c, "class")
+                if cls and frag in cls:
+                    return ENode(c, self.doc)
+            elif _ematch(c, pred):
+                return ENode(c, self.doc)
+        return None
+
+    def find_parent(self, tag: str):
+        p = self.doc.parent_of(self.e)
+        while p is not None and p is not self.doc.root_elem:
+            if p.tag.lower() == tag:
+                return ENode(p, self.doc)
+            p = self.doc.parent_of(p)
+        return None
+
+    def find_next_sibling(self, tag: str, **pred):
+        p = self.doc.parent_of(self.e)
+        if p is None:
+            return None
+        sibs = list(p)
+        for i, s in enumerate(sibs):
+            if s is self.e:
+                for nxt in sibs[i + 1 :]:
+                    if nxt.tag.lower() == tag and _ematch(nxt, pred):
+                        return ENode(nxt, self.doc)
+                return None
+        return None
+
+    def get(self, name: str, default=None):
+        v = _aget(self.e, name)
+        return default if v is None else v
+
+    def has_class_fragment(self, fragment: str) -> bool:
+        c = _aget(self.e, "class")
+        return bool(c) and fragment in c
+
+    def get_text(self, sep: str = " ", strip: bool = True) -> str:
+        e = self.e
+        if len(e) == 0:  # childless element — hottest shape (<p>text</p>)
+            t = e.text or ""
+            return t.strip() if strip else t
+        # Element.itertext() walks text+tails in document order in C
+        if strip:
+            return sep.join(t for t in (s.strip() for s in self.e.itertext()) if t)
+        return sep.join(t for t in self.e.itertext() if t)
+
+    def iter(self):
+        yield self
+        for c in self._subtree(None):
+            yield ENode(c, self.doc)
+
+    def descendants(self):
+        return [ENode(c, self.doc) for c in self._subtree(None)]
+
+
+def parse_html(html: str) -> Node | ENode:
     html = html or ""
     try:
         from xml.etree import ElementTree as ET
@@ -232,16 +416,4 @@ def parse_html(html: str) -> Node:
         et_root = ET.fromstring(f"<__root__>{prepared}</__root__>")
     except Exception:
         return parse_html_slow(html)
-    doc: list[Node] = []
-    root = Node("[document]", {}, None, 0)
-    root._doc = doc
-    root._idx = -1
-    if et_root.text:
-        root.children.append(et_root.text)
-    for child in et_root:
-        cn = _et_to_node(child, root, doc)
-        root.children.append(cn)
-        if child.tail:
-            root.children.append(child.tail)
-    root._end = len(doc)
-    return root
+    return ENode(et_root, EDoc(et_root))

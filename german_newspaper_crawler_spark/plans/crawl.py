@@ -435,6 +435,11 @@ def skip_known(
     reproducing the reference's per-collection known_hashes replacement,
     where a cross-domain duplicate is re-processed.
 
+    NOTE: ``articles`` feeds TWO plan branches (the narrow probe and the
+    payload join-back), so an un-cached input recomputes its lineage twice —
+    callers cache the fetched batch first (run_crawl does; it is bounded by
+    the round's pop budget).
+
     With ``blooms`` (G1 accelerator): rows whose three hash variants are all
     provably-absent from the per-bucket Bloom filters bypass the exact
     anti-joins entirely — at 10^10 frontier scale that is the overwhelmingly

@@ -61,6 +61,11 @@ def get_spark(
         # on the pos-tag transform). On a cluster the same flag goes to
         # spark.executor.extraJavaOptions.
         .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        # cached round batches carry html_gz / image bytes that are already
+        # deflate-compressed — columnar re-compression is pure CPU waste
+        # (measured ~12% of the fused crawl stage); cache footprint stays
+        # bounded by the round's pop budget, not the corpus
+        .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
