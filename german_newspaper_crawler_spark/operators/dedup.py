@@ -209,16 +209,23 @@ def _hashed_shingles(
 ) -> DataFrame:
     """Shingles keyed by xxhash64 — 8-byte shuffle/cache keys instead of
     ~30-byte strings (the payload that dominates the shuffle at corpus
-    scale). Deterministic, so results are stable run-to-run; a 64-bit
-    collision merges two shingles (P ≈ n²/2⁶⁵ — immaterial next to the
-    near-dup thresholds, and the universal trade every MinHash-family
+    scale). The hash is computed directly over the n token columns inside
+    the transform (multi-arg xxhash64), so the intermediate concat string
+    is never allocated. Deterministic, so results are stable run-to-run; a
+    64-bit collision merges two shingles (P ≈ n²/2⁶⁵ — immaterial next to
+    the near-dup thresholds, and the universal trade every MinHash-family
     system makes). Lazily persisted: one explode feeds the three
     inverted-index scans within the final job."""
     from pyspark import StorageLevel
 
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    df2 = df.select(F.col(id_col), toks.alias("tk")).where(F.size("tk") >= n)
+    args = ", ".join(f"element_at(tk, i + {j})" for j in range(n))
+    shingles = F.expr(
+        f"transform(sequence(1, size(tk) - {n - 1}), i -> xxhash64({args}))"
+    )
     return (
-        word_shingles(df, id_col, text_col, n)
-        .select(id_col, F.xxhash64("shingle").alias("shingle"))
+        df2.select(id_col, F.explode(F.array_distinct(shingles)).alias("shingle"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
