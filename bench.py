@@ -81,8 +81,8 @@ def crawl_stage_bench(spark, n_urls: int, n_partitions: int) -> dict:
     from german_newspaper_crawler_spark import schemas
     from german_newspaper_crawler_spark.operators.frontier import bucket_of, pop_batch
     from german_newspaper_crawler_spark.plans.crawl import (
-        CrawlConfig, article_identity,
-        fetch_images_stage, fetch_parse_articles_stage, skip_known,
+        CrawlConfig, article_identity, fetch_images_stage,
+        fetch_parse_articles_stage, prefilter_known_urls, skip_known_text,
     )
 
     def text_tok_count():
@@ -130,11 +130,14 @@ def crawl_stage_bench(spark, n_urls: int, n_partitions: int) -> dict:
     # channels); it is correctness-tested in the oracle battery instead.
     t0 = time.monotonic()
     batch = pop_batch(frontier.withColumn("round", F.lit(0)), None)
+    fresh_batch, _skipped = prefilter_known_urls(batch, seen)
     parsed = article_identity(
-        fetch_parse_articles_stage(batch, synth_fetcher, n_partitions=n_partitions)
-    ).cache()  # skip_known consumes its input twice (probe + join-back) —
-    # cache exactly as run_crawl does so fetch+parse runs once
-    final = skip_known(parsed, seen)
+        fetch_parse_articles_stage(fresh_batch, synth_fetcher, n_partitions=n_partitions)
+    )
+    # split known-skip, exactly as run_crawl: url-hash pre-skip above, one
+    # linear text-hash anti-join below — the fetched batch has a single
+    # consumer chain, so no cache materialization sits in the timed path
+    final = skip_known_text(parsed, seen)
     out = final.select(
         "url", "content_hash", "autor", "category", "published_date",
         F.length("text").alias("n_tags"), F.size("figures").alias("n_figs"),

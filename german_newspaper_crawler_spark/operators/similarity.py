@@ -185,6 +185,125 @@ def lsh_bucketed_topk(
     )
 
 
+def _det_centroids(
+    corpus: DataFrame, id_col: str, vec_col: str, n_lists: int,
+    kmeans_iters: int,
+) -> np.ndarray:
+    """Deterministic unit-norm centroids from a bounded hash-selected sample
+    (no RNG state): seeds = rows with the smallest sha256-derived hash64 of
+    the id, then ``kmeans_iters`` Lloyd steps on the sample. The collect is
+    bounded driver state (≤ max(20·n_lists, 256) rows) like ids.py's
+    per-partition counts."""
+    from german_newspaper_crawler_spark.functions.hashing import hash64
+
+    sample_n = max(20 * n_lists, 256)
+    sample = (
+        corpus.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
+        .withColumn("__h", hash64(F.col("id").cast("string")))
+        .orderBy("__h", "id")
+        .limit(sample_n)
+        .collect()
+    )
+    X = np.asarray([r["v"] for r in sample], dtype=np.float64)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    cents = Xn[:n_lists].copy()
+    for _ in range(kmeans_iters):
+        sims = Xn @ cents.T
+        assign = sims.argmax(axis=1)
+        for c in range(n_lists):
+            members = Xn[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cents[c] = m / max(np.linalg.norm(m), 1e-12)
+    return cents  # (n_lists, dim), unit norm
+
+
+def semdedup(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_clusters: int = 8,
+    threshold: float = 0.95,
+    kmeans_iters: int = 0,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup via
+    k-means clustering + within-cluster pairwise cosine — removes documents
+    whose EMBEDDING is near-identical to another document's even when the
+    text differs (paraphrases, templated rewrites), the gap exact/MinHash
+    dedup can't see. No reference analog (nearest behavior: the pHash
+    near-dup suppression, web_requests.py:182-193, for images).
+
+    Keeper rule: within a cluster, a row is dropped iff some LOWER-id row
+    of the same cluster has cos6 >= threshold (deterministic min-id keeper,
+    the repo's dedup convention; the paper keeps a centroid-far random
+    representative). Cosines round to 6dp before the compare so the DuckDB
+    oracle reproduces the decision bit-for-bit.
+
+    Scale shape: one gemm pandas-UDF pass for cell assignment
+    (corpus-linear), ONE shuffle on cell, then per-cell blocked m×m gemm in
+    applyInPandas — never an all-pairs join across cells. n_clusters scales
+    with the corpus (the paper uses ~0.1% of N) so cells stay ~10^3-10^4
+    rows; the block loop caps the in-worker matrix at 1024×m.
+
+    Returns one row per input: (id, cell, is_kept).
+    """
+    from pyspark.sql.types import (
+        BooleanType, IntegerType, StructField, StructType,
+    )
+
+    centroids = _det_centroids(corpus, id_col, vec_col, n_clusters, kmeans_iters)
+
+    @F.pandas_udf(IntegerType())
+    def cell_of(vecs: pd.Series) -> pd.Series:
+        m = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sims = np.round(m @ centroids.T, 6)
+        return pd.Series(sims.argmax(axis=1).astype("int32"))
+
+    assigned = corpus.select(
+        F.col(id_col), _as_double(vec_col).alias("__v")
+    ).withColumn("cell", cell_of(F.col("__v")))
+
+    id_field = assigned.schema[id_col]
+    out_schema = StructType(
+        [
+            StructField(id_col, id_field.dataType, id_field.nullable),
+            StructField("cell", IntegerType(), False),
+            StructField("is_kept", BooleanType(), False),
+        ]
+    )
+
+    def dedup_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        V = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in pdf["__v"]]
+        )[order]
+        V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        m = len(ids)
+        dup_sorted = np.zeros(m, dtype=bool)
+        for lo in range(1, m, 1024):  # row 0 (smallest id) is always kept
+            hi = min(lo + 1024, m)
+            sims = np.round(V[lo:hi] @ V[:hi].T, 6)  # only cols with idx<hi
+            # a row is a dup if ANY strictly-earlier (smaller-id) row in the
+            # same cell reaches the threshold
+            for r in range(hi - lo):
+                dup_sorted[lo + r] = bool(
+                    (sims[r, : lo + r] >= threshold).any()
+                )
+        is_kept = np.empty(m, dtype=bool)
+        is_kept[order] = ~dup_sorted
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col].to_numpy(),
+                "cell": pdf["cell"].to_numpy(),
+                "is_kept": is_kept,
+            }
+        )
+
+    return assigned.groupBy("cell").applyInPandas(dedup_cell, out_schema)
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -209,29 +328,7 @@ def ivf_topk(
     """
     from pyspark.sql.types import ArrayType, IntegerType
 
-    from german_newspaper_crawler_spark.functions.hashing import hash64
-
-    # --- driver-side: deterministic centroids from a bounded sample --------
-    sample_n = max(20 * n_lists, 256)
-    sample = (
-        corpus.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
-        .withColumn("__h", hash64(F.col("id").cast("string")))
-        .orderBy("__h", "id")
-        .limit(sample_n)
-        .collect()
-    )
-    X = np.asarray([r["v"] for r in sample], dtype=np.float64)
-    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-    cents = Xn[:n_lists].copy()
-    for _ in range(kmeans_iters):
-        sims = Xn @ cents.T
-        assign = sims.argmax(axis=1)
-        for c in range(n_lists):
-            members = Xn[assign == c]
-            if len(members):
-                m = members.mean(axis=0)
-                cents[c] = m / max(np.linalg.norm(m), 1e-12)
-    centroids = cents  # (n_lists, dim), unit norm
+    centroids = _det_centroids(corpus, id_col, vec_col, n_lists, kmeans_iters)
 
     # sims are ROUNDED to 6dp before argmax/argsort with lowest-cell
     # tie-break, so cell assignment is reproducible across engines (the

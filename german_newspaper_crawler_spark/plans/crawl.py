@@ -513,6 +513,91 @@ def skip_known(
     return articles.join(hits, reduce(and_, back), "left_anti")
 
 
+def prefilter_known_urls(
+    batch: DataFrame,
+    seen: DataFrame,
+    scope_col: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Pre-FETCH url-hash skip — the split form of skip_known's url_hash /
+    content_hash variants, applied to the pop batch BEFORE the fetch stage.
+
+    For http(s) rows ``content_hash == url_hash == sha256(url)``
+    (article_identity, §1.4), so a seen url-hash decides two of the three
+    skip variants from the url alone: the row is dropped here and the fetch
+    never happens — at 10^10-frontier scale this is the difference between
+    re-downloading every refresh-crawl page and touching only new content.
+    Non-http rows have ``url_hash`` NULL under the reference rule and are
+    never skipped here (their content_hash is the text hash — post-fetch).
+
+    Combined with :func:`skip_known_text` the surviving set is EXACTLY
+    skip_known's (tests/test_fetch_politeness.py asserts the equivalence):
+    http rows probe {url_hash, url_hash, text_hash} there, {url_hash} here +
+    {text_hash} after; non-http rows probe {text_hash, —, text_hash} there,
+    {} here + {text_hash} after.
+
+    Returns ``(fresh, skipped)`` — callers record ``skipped`` urls with
+    status -304 so the frontier marks them resolved without a fetch.
+    ``batch`` feeds both outputs; run_crawl's pop batch is already cached.
+    """
+    is_http = F.col("url").startswith("http://") | F.col("url").startswith(
+        "https://"
+    )
+    sel = [F.col("content_hash").alias("h")]
+    if scope_col:
+        sel.append(F.col(scope_col).alias("__scope"))
+    seen_h = seen.select(*sel).distinct()
+    probe = batch.withColumn(
+        "__uh", F.when(is_http, F.sha2(F.col("url"), 256))
+    )
+    cond = probe["__uh"] == seen_h["h"]
+    if scope_col:
+        cond = cond & (probe[scope_col] == seen_h["__scope"])
+    skipped = probe.join(seen_h, cond, "left_semi").drop("__uh")
+    fresh = probe.join(seen_h, cond, "left_anti").drop("__uh")
+    return fresh, skipped
+
+
+def skip_known_text(
+    articles: DataFrame,
+    seen: DataFrame,
+    blooms: DataFrame | None = None,
+    n_bloom_buckets: int = 16,
+    scope_col: str | None = None,
+) -> DataFrame:
+    """Post-fetch text-hash skip — the other half of the split (see
+    :func:`prefilter_known_urls`): ONE left-anti equi-join on
+    ``text_content_hash``, a single linear consumer of the fetched batch —
+    no cache requirement and exactly one payload shuffle worst-case
+    (AQE broadcasts the seen side when small).
+
+    With ``blooms`` (G1), rows whose text hash is provably absent bypass
+    the exact join entirely — the overwhelmingly common fresh path.
+    """
+    if blooms is not None:
+        from german_newspaper_crawler_spark.functions.hashing import hash64
+        from german_newspaper_crawler_spark.operators.bloom import bloom_prefilter
+
+        probe = articles.withColumn(
+            "__h", F.coalesce(F.col("text_content_hash"), F.lit("0" * 30))
+        )
+        probed = bloom_prefilter(
+            probe, blooms, "__h",
+            F.pmod(hash64(F.col("__h")), F.lit(n_bloom_buckets)).cast("int"),
+        )
+        fresh = probed.where(~F.col("maybe_seen")).drop("maybe_seen", "__h")
+        maybe = probed.where(F.col("maybe_seen")).drop("maybe_seen", "__h")
+        return fresh.unionByName(skip_known_text(maybe, seen, scope_col=scope_col))
+
+    sel = [F.col("content_hash").alias("h")]
+    if scope_col:
+        sel.append(F.col(scope_col).alias("__scope"))
+    seen_h = seen.select(*sel).distinct()
+    cond = articles["text_content_hash"] == seen_h["h"]
+    if scope_col:
+        cond = cond & (articles[scope_col] == seen_h["__scope"])
+    return articles.join(seen_h, cond, "left_anti")
+
+
 # --- the driver loop -------------------------------------------------------------
 
 def run_crawl(
@@ -606,16 +691,28 @@ def run_crawl(
             )
             new_frontier.append(refill)
 
-        # 2) articles → fused fetch+parse → identity → skip → enrich → merge
+        # 2) articles → url-hash pre-skip → fused fetch+parse → identity →
+        #    text-hash skip → enrich → merge. The known-skip is SPLIT
+        #    (prefilter_known_urls + skip_known_text ≡ skip_known): known
+        #    urls never reach the fetch stage (status -304, state
+        #    "skipped"), and the post-fetch check is one linear anti-join —
+        #    the fetched batch has a single consumer chain.
         art_batch = work.where(F.col("kind") == "article")
         if not art_batch.isEmpty():
+            scope = "domain" if cfg.strict_refresh_replace else None
+            art_fresh, art_skipped = prefilter_known_urls(
+                art_batch, seen, scope_col=scope
+            )
             parsed = article_identity(
                 fetch_parse_articles_stage(
-                    art_batch, fetcher, robots=round_robots, respect_delay=cfg.respect_delay,
+                    art_fresh, fetcher, robots=round_robots, respect_delay=cfg.respect_delay,
                     concurrency=cfg.fetch_concurrency,
                 )
             ).cache()
             status_parts.append(parsed.select("url", "status"))
+            status_parts.append(
+                art_skipped.select("url", F.lit(-304).alias("status"))
+            )
             blooms = None
             if cfg.use_bloom:
                 from german_newspaper_crawler_spark.operators.bloom import (
@@ -632,8 +729,7 @@ def run_crawl(
             # robots-blocked rows were never fetched → no article row;
             # failures (status 0/4xx/5xx) DO upsert with empty html
             # (web_requests.py:129-150)
-            scope = "domain" if cfg.strict_refresh_replace else None
-            fresh = skip_known(
+            fresh = skip_known_text(
                 parsed.where(F.col("status") != -403), seen,
                 blooms=blooms, n_bloom_buckets=cfg.bloom_buckets,
                 scope_col=scope,
@@ -796,6 +892,7 @@ def run_crawl(
                     "url", "host", "bucket", "priority", "seq", "kind",
                     F.when(F.col("status") == 200, F.lit("fetched"))
                     .when(F.col("status") == -403, F.lit("blocked"))
+                    .when(F.col("status") == -304, F.lit("skipped"))
                     .otherwise(F.lit("failed"))
                     .alias("state"),
                     F.lit(rnd).alias("round"),

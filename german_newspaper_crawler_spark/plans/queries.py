@@ -1563,6 +1563,51 @@ def ann_ivf_topk(spark, sf_dir):
 
 
 @register(
+    "dedup_semantic_semdedup",
+    "SemDeDup (arXiv:2303.09540) semantic dedup: k-means cells "
+    "(deterministic hash-sampled centroids, the ann_ivf machinery) + "
+    "within-cell pairwise cosine; a row is dropped iff a lower-id row of "
+    "its cell reaches cos6 >= 0.4 — catches paraphrase/templated near-dups "
+    "invisible to exact or shingle dedup. Per-cell blocked gemm in "
+    "applyInPandas; never an all-pairs join across cells.",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cents AS (
+      SELECT v, ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS cell
+      FROM (SELECT vec_id, v,
+                   {hash64_sql("CAST(vec_id AS VARCHAR)")} AS h FROM e)
+      QUALIFY ROW_NUMBER() OVER (ORDER BY h, vec_id) <= 8),
+    sims AS (
+      SELECT e.vec_id, c.cell, {_COS6_SQL.format(a="e", b="c")} AS s
+      FROM e CROSS JOIN cents c),
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY s DESC, cell) AS rn
+        FROM sims) WHERE rn = 1),
+    dups AS (
+      SELECT DISTINCT hi.vec_id
+      FROM assign hi JOIN assign lo
+        ON lo.cell = hi.cell AND lo.vec_id < hi.vec_id
+      JOIN e eh ON eh.vec_id = hi.vec_id
+      JOIN e el ON el.vec_id = lo.vec_id
+      WHERE {_COS6_SQL.format(a="eh", b="el")} >= 0.4)
+    SELECT a.vec_id, CAST(a.cell AS INT) AS cell,
+           (d.vec_id IS NULL) AS is_kept
+    FROM assign a LEFT JOIN dups d ON d.vec_id = a.vec_id
+    """,
+)
+def dedup_semantic_semdedup(spark, sf_dir):
+    from german_newspaper_crawler_spark.operators.similarity import semdedup
+
+    return semdedup(
+        t(spark, sf_dir, "embeddings"), id_col="vec_id", vec_col="embedding",
+        n_clusters=8, threshold=0.4, kmeans_iters=0,
+    )
+
+
+@register(
     "text_token_count_bpe",
     "Token counting, BPE-ish regex flavor (training-data pipeline op): "
     "letter-runs / digit-runs / punctuation-runs — the pre-tokenizer shape "

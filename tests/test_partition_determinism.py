@@ -37,6 +37,8 @@ RISKY = [
     "dedup_components_keepers",
     # r3: the crawl image leg's suppression operator, batch form
     "g6y_phash_seen_suppression",
+    # r3: SemDeDup — driver-side centroid sample + per-cell applyInPandas
+    "dedup_semantic_semdedup",
 ]
 
 

@@ -92,3 +92,58 @@ def test_lsh_dedup_pairs_recall_on_true_near_dups(spark):
     # and precision stays exact: every emitted pair truly clears threshold
     # (the within-bucket verify is exact cosine, so no false positives)
     assert all(a < b for a, b in got)
+
+
+def test_semdedup_drops_planted_semantic_dups(spark):
+    """SemDeDup: planted near-identical embedding pairs collapse to the
+    min-id keeper; background vectors survive; output is one row per input
+    and matches a brute-force within-cell reference computed in numpy."""
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    rows, planted = [], []
+    vid = 0
+    for _ in range(40):
+        base = rng.standard_normal(32)
+        base /= np.linalg.norm(base)
+        dup = base + rng.standard_normal(32) * 0.02
+        rows.append((vid, [float(x) for x in base]))
+        rows.append((vid + 1, [float(x) for x in dup]))
+        planted.append((vid, vid + 1))
+        vid += 2
+    for _ in range(120):
+        v = rng.standard_normal(32)
+        rows.append((vid, [float(x) for x in v]))
+        vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    from german_newspaper_crawler_spark.operators.similarity import semdedup
+
+    out = {r["vec_id"]: r for r in semdedup(
+        df, "vec_id", "embedding", n_clusters=6, threshold=0.9, kmeans_iters=2
+    ).collect()}
+    assert len(out) == len(rows)  # one verdict per input row
+
+    # a planted dup is dropped whenever it landed in the same cell as its
+    # original (cells are approximate; near-identical vectors co-locate)
+    same_cell = [(a, b) for a, b in planted
+                 if out[a]["cell"] == out[b]["cell"]]
+    assert len(same_cell) >= int(0.9 * len(planted))  # co-location sanity
+    for a, b in same_cell:
+        assert out[a]["is_kept"], (a, out[a])
+        assert not out[b]["is_kept"], (b, out[b])
+
+    # numpy reference: exact same keeper rule per cell
+    vecs = {i: np.asarray(v, dtype=np.float64) for i, v in rows}
+    by_cell: dict[int, list[int]] = {}
+    for i in vecs:
+        by_cell.setdefault(out[i]["cell"], []).append(i)
+    for cell, ids in by_cell.items():
+        ids.sort()
+        for pos, i in enumerate(ids):
+            vi = vecs[i] / np.linalg.norm(vecs[i])
+            dup = any(
+                round(float(vi @ (vecs[j] / np.linalg.norm(vecs[j]))), 6) >= 0.9
+                for j in ids[:pos]
+            )
+            assert out[i]["is_kept"] == (not dup), (i, cell)
