@@ -233,3 +233,55 @@ def test_containment_catches_quotation_jaccard_misses(spark):
         for r in containment_pairs(df, "doc_id", "text", n=3, threshold=0.9).collect()
     }
     assert cont == {(1, 2): 1.0}  # short doc fully contained in the long one
+
+def test_prefix_filter_pairs_identical_to_plain_inverted_index(spark):
+    """The PPJoin prefix-filtered path must emit EXACTLY the plain capped
+    inverted-index join's pairs — same (a, b, jaccard6) set — on a corpus
+    stressing the pruning bounds: near-dup templated pairs at/around the
+    0.5 threshold, size-skewed pairs near the size-filter boundary
+    (min >= t*max), singleton-heavy docs (df=1 prefix slots), and a
+    stop-shingle shared by many docs (df-cap interaction)."""
+    import random
+
+    from german_newspaper_crawler_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(300)]
+    stop = "der die das"  # a shingle every doc shares
+    rows = []
+    did = 0
+    for _ in range(30):  # templated near-dups straddling the threshold
+        base = [rng.choice(vocab) for _ in range(rng.randint(12, 40))]
+        mut = list(base)
+        for _ in range(rng.randint(1, max(2, len(base) // 3))):
+            mut[rng.randrange(len(mut))] = rng.choice(vocab)
+        rows.append((did, stop + " " + " ".join(base))); did += 1
+        rows.append((did, stop + " " + " ".join(mut))); did += 1
+    for _ in range(20):  # size-skew: short doc vs its 2x-padded version
+        base = [rng.choice(vocab) for _ in range(rng.randint(8, 16))]
+        pad = base + [rng.choice(vocab) for _ in range(len(base))]
+        rows.append((did, " ".join(base))); did += 1
+        rows.append((did, " ".join(pad))); did += 1
+    for _ in range(40):  # background singleton-heavy docs
+        rows.append((did, " ".join(rng.choice(vocab) for _ in range(20)))); did += 1
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    for t in (0.3, 0.5, 0.8):
+        want = {
+            (r["a"], r["b"], r["jaccard"])
+            for r in ngram_jaccard_pairs(
+                df, "doc_id", "text", n=3, threshold=t, max_df=100,
+                prefix_filter=False,
+            ).collect()
+        }
+        got = {
+            (r["a"], r["b"], r["jaccard"])
+            for r in ngram_jaccard_pairs(
+                df, "doc_id", "text", n=3, threshold=t, max_df=100,
+                prefix_filter=True,
+            ).collect()
+        }
+        assert got == want, (t, got ^ want)
+        assert want  # the fixture must actually produce pairs
