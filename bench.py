@@ -279,18 +279,24 @@ def main():
     total += times["crawl_stage"]
     spark.catalog.clearCache()
 
+    # best-of-2 per query: this host is multi-tenant and its capacity
+    # drifts on a minutes scale (measured ±2x on identical code); min wall
+    # is the standard noise-robust estimator of a query's true cost. Each
+    # rep rebuilds its own caches (clearCache between reps, untimed).
     for name, spec in REGISTRY.items():
         if not spec.bench:
             continue
-        t0 = time.monotonic()
-        force(spec.spark(spark, sf_dir))
-        dt = round(time.monotonic() - t0, 3)
-        times[name] = dt
-        total += dt
-        # queries that persist intermediates (shingle caches) must not leak
-        # block-manager memory into the next measurement — drop between
-        # queries, outside the timed window (each query builds its own cache)
-        spark.catalog.clearCache()
+        reps = []
+        for _ in range(2):
+            t0 = time.monotonic()
+            force(spec.spark(spark, sf_dir))
+            reps.append(time.monotonic() - t0)
+            # queries that persist intermediates (shingle caches) must not
+            # leak block-manager memory into the next measurement — drop
+            # between reps/queries, outside the timed window
+            spark.catalog.clearCache()
+        times[name] = round(min(reps), 3)
+        total += times[name]
 
     print(
         json.dumps(
@@ -307,6 +313,7 @@ def main():
                 "load_end": round(os.getloadavg()[0], 2),
                 "quiet_wait_sec": quiet_wait,
                 "pinned": pinned,
+                "timing": "min_of_2_reps_per_query",
             }
         )
     )

@@ -519,3 +519,58 @@ def containment_pairs(
         F.round(F.col("c") / F.col("nb"), 6).alias("containment"),
     )
     return a_in_b.unionByName(b_in_a).where(F.col("containment") >= threshold)
+
+
+def paragraph_dedup(
+    df: DataFrame, id_col: str, paras_col: str, sep: str = "\n\n"
+) -> DataFrame:
+    """CCNet-style corpus-wide paragraph dedup (Wenzek et al. 2020,
+    arXiv:1911.00359; also RefinedWeb/Dolma line-dedup): every repeated
+    paragraph is dropped EXCEPT its first occurrence under the
+    deterministic order (id, position) — boilerplate (nav, cookie
+    banners, subscription prompts) repeats across pages and would
+    otherwise dominate a trained model's data distribution. No reference
+    analog (nearest: the document-level sha256 skip, §1.4).
+
+    Input: ``paras_col`` an ``array<string>`` of the document's paragraphs
+    in order. Output: one row per input doc —
+    (id, clean_text, n_kept, n_total).
+
+    Scale shape: winner-per-paragraph is a partial-aggregatable
+    ``groupBy(hash).agg(min(struct(id, pos)))`` — NOT a window over the
+    paragraph hash, which would funnel a mega-boilerplate paragraph's 10^7
+    occurrences through one ordered partition. The occurrence table joins
+    winners on the 8-byte xxhash64 key; rebuild is a doc-local groupBy.
+    A 64-bit collision merges two distinct paragraphs (P ≈ n²/2⁶⁵ —
+    the MinHash-family trade, see _hashed_shingles).
+    """
+    occ = df.select(
+        F.col(id_col), F.posexplode(F.col(paras_col)).alias("pos", "para")
+    ).withColumn("__h", hash64(F.col("para")))
+    winners = occ.groupBy("__h").agg(
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("w")
+    )
+    kept = (
+        occ.join(winners, "__h")
+        .where((F.col(f"w.{id_col}") == F.col(id_col)) & (F.col("w.pos") == F.col("pos")))
+        .select(id_col, "pos", "para")
+    )
+    totals = df.select(
+        F.col(id_col), F.size(F.col(paras_col)).cast("long").alias("n_total")
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_sort(F.collect_list(F.struct("pos", "para"))).alias("ps")
+    ).select(
+        id_col,
+        F.array_join(F.col("ps").getField("para"), sep).alias("clean_text"),
+        F.size("ps").cast("long").alias("n_kept"),
+    )
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            "n_total",
+        )
+    )

@@ -2307,3 +2307,53 @@ def pack_training_sequences(spark, sf_dir):
         F.floor((F.col("cum") - F.col("ntok")) / 512).cast("long").alias("first_seq"),
         F.floor((F.col("cum") - 1) / 512).cast("long").alias("last_seq"),
     )
+
+
+@register(
+    "text_paragraph_dedup",
+    "CCNet-style corpus-wide paragraph dedup (arXiv:1911.00359; RefinedWeb/"
+    "Dolma line-dedup): documents re-paragraphed into 10-token segments "
+    "(the o3 convention — fixture docs are single-paragraph), every "
+    "repeated paragraph dropped except its first (doc_id, pos) occurrence, "
+    "texts rebuilt. Winner selection is a partial-aggregatable "
+    "groupBy(hash).min(struct) — never a window over the paragraph hash, "
+    "which would funnel a mega-boilerplate paragraph through one ordered "
+    "partition at web scale.",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id, regexp_split_to_array(TRIM(text), '\\s+') AS tk
+      FROM documents),
+    p AS (
+      SELECT doc_id, CAST(u.i AS INT) AS pos,
+             array_to_string(
+               tk[(CAST(u.i AS INT)*10+1):(CAST(u.i AS INT)*10+10)], ' ') AS para
+      FROM tk, UNNEST(range(0, CAST(ceil(len(tk)/10.0) AS BIGINT))) AS u(i)),
+    k AS (
+      SELECT doc_id, pos, para,
+             ROW_NUMBER() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+      FROM p),
+    reb AS (
+      SELECT doc_id,
+             string_agg(para, chr(10)||chr(10) ORDER BY pos) AS clean_text,
+             COUNT(*) AS n_kept
+      FROM k WHERE rn = 1 GROUP BY doc_id),
+    tot AS (
+      SELECT doc_id, CAST(ceil(len(tk)/10.0) AS BIGINT) AS n_total FROM tk)
+    SELECT t.doc_id, COALESCE(r.clean_text, '') AS clean_text,
+           CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept, t.n_total
+    FROM tot t LEFT JOIN reb r ON r.doc_id = t.doc_id
+    """,
+)
+def text_paragraph_dedup(spark, sf_dir):
+    from german_newspaper_crawler_spark.operators.dedup import paragraph_dedup
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(0, cast(ceil(size(split(trim(text), '\\\\s+'))"
+            " / 10.0) as int) - 1),"
+            " i -> array_join(slice(split(trim(text), '\\\\s+'),"
+            " i * 10 + 1, 10), ' '))"
+        ).alias("paras"),
+    )
+    return paragraph_dedup(docs, "doc_id", "paras")

@@ -39,6 +39,9 @@ RISKY = [
     "g6y_phash_seen_suppression",
     # r3: SemDeDup — driver-side centroid sample + per-cell applyInPandas
     "dedup_semantic_semdedup",
+    # r3: corpus-wide paragraph dedup — min(struct) winner must not depend
+    # on partitioning
+    "text_paragraph_dedup",
 ]
 
 
