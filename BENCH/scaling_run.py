@@ -6,7 +6,8 @@ fetcher) at N and 4N CPU-pinned cores (``taskset``) in fresh processes,
 INTERLEAVED as (N, 4N) pairs, checks outputs are bit-identical across
 levels, computes per-pair scaling efficiency =
 (throughput_4N / throughput_N) / 4, reports the median-of-pairs, and
-rewrites BENCH/BASELINE.md. One extra pair runs at the saturated 4→16
+writes BENCH/BASELINE_last_run.md (BENCH/BASELINE.md is the curated
+evidence package assembled from clean-window invocations of this tool). One extra pair runs at the saturated 4→16
 level as an exhibit of the box's memory ceiling (see below).
 
 Why interleaved pairs rather than blocked levels: the sandbox VM shares a
@@ -275,7 +276,7 @@ N : {json.dumps(rn_all)}
 4N: {json.dumps(r4_all)}
 sat: {json.dumps([sat_n, sat_4n])}
 """
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    with open(os.path.join(REPO, "BENCH", "BASELINE_last_run.md"), "w") as f:
         f.write(md)
     print(json.dumps({"eff_urls": round(eff_u, 3), "eff_images": round(eff_i, 3),
                       "sat_eff_urls": round(sat_eff_u, 3),

@@ -63,6 +63,11 @@ def get_spark(
         n = master[master.index("[") + 1 : -1] if "[" in master else str(cpus)
         shuffle_partitions = cpus if n == "*" else int(n)
 
+    # resolve the heap ONCE — an extra_conf driver-memory override must
+    # also size -Xms, or the pretouch flag below would ask for more than
+    # -Xmx and kill the JVM at initialization
+    heap = (extra_conf or {}).get("spark.driver.memory") or _heap(master, cpus)
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -83,7 +88,7 @@ def get_spark(
         # rate is proportional to task parallelism, and an N→4N executor
         # scale-up brings 4N heaps on a real cluster — a fixed heap at
         # high core counts turns GC into a false serial bottleneck
-        .config("spark.driver.memory", _heap(master, cpus))
+        .config("spark.driver.memory", heap)
         # ParallelGC: the enrichment stages allocate hundreds of millions of
         # short-lived structs; G1's concurrent machinery collapses under 32
         # allocation-heavy task threads (measured 8x slower than ParallelGC
@@ -94,7 +99,7 @@ def get_spark(
         # cluster the same flags go to spark.executor.extraJavaOptions.
         .config(
             "spark.driver.extraJavaOptions",
-            f"-XX:+UseParallelGC -Xms{_heap(master, cpus)} -XX:+AlwaysPreTouch",
+            f"-XX:+UseParallelGC -Xms{heap} -XX:+AlwaysPreTouch",
         )
         # cached round batches carry html_gz / image bytes that are already
         # deflate-compressed — columnar re-compression is pure CPU waste
