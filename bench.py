@@ -226,6 +226,18 @@ def main():
         time.sleep(5)
     quiet_wait = round(time.monotonic() - t_wait, 1)
     load_start = round(os.getloadavg()[0], 2)
+    # host-throttle calibration: this VM's host slows it 30-55% for
+    # minutes at a time at constant reported clock and ~0.5% steal (see
+    # BENCH/BASELINE.md). A fixed single-core Python spin measured at
+    # bench start lets a reader normalize this run's walls against the
+    # box's momentary speed (quiet-host peak on this VM: ~6.2 M ops/s).
+    t_cal = time.monotonic()
+    x = n_ops = 0
+    while time.monotonic() - t_cal < 0.5:
+        for _ in range(100_000):
+            x = (x * 1103515245 + 12345) & 0x7FFFFFFF
+        n_ops += 100_000
+    calib_mops = round(n_ops / (time.monotonic() - t_cal) / 1e6, 2)
     # pin this process tree (JVM + Python workers inherit) to exactly `cpus`
     # cores so a run at cpus<nproc can't silently borrow extra cores, and so
     # the recorded load is attributable — makes a noisy driver run
@@ -251,7 +263,8 @@ def main():
 
     if args.crawl_stage:
         res = crawl_stage_bench(spark, args.n_urls, n_partitions=args.n_partitions or max(cpus, 16))
-        print(json.dumps({"mode": "crawl-stage", "cpus": cpus, **res}))
+        print(json.dumps({"mode": "crawl-stage", "cpus": cpus,
+                          "calib_1core_mops": calib_mops, **res}))
         spark.stop()
         return
 
@@ -332,6 +345,7 @@ def main():
                 "quiet_wait_sec": quiet_wait,
                 "pinned": pinned,
                 "timing": "min_of_2_reps_per_query",
+                "calib_1core_mops": calib_mops,
             }
         )
     )
