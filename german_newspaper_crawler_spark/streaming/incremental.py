@@ -279,3 +279,108 @@ def streaming_minhash_candidates(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_paragraph_dedup(
+    docs: DataFrame,
+    store,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    paras_col: str = "paras",
+    out_table: str = "clean_docs",
+    seen_table: str = "seen_paras",
+):
+    """Continuously-running twin of :func:`operators.dedup.paragraph_dedup`
+    (CCNet corpus-wide paragraph dedup): each microbatch drops every
+    paragraph already seen in PRIOR batches, applies the batch winner rule
+    (min (id, pos) per hash) WITHIN the batch, rebuilds the texts, and
+    commits the newly-seen hashes — so across the stream's lifetime every
+    repeated paragraph survives exactly once, in its first-arrival
+    document.
+
+    Formulated with ``foreachBatch`` over the snapshot store rather than
+    ``applyInPandasWithState``: a doc's paragraphs scatter across hash
+    groups, so keep/drop decisions and doc reassembly are different
+    shuffles — exactly the two-stage shape foreachBatch handles with plain
+    batch plans, while the corpus-wide seen set lives in a queryable store
+    table instead of opaque operator state (the same design the crawl uses
+    for its ``seen`` table).
+
+    Replay safety (at-least-once sources): ``seen_paras`` rows carry the
+    ``added_batch`` that first committed them, and the anti-join only
+    consults rows with ``added_batch < current batch_id`` — a reprocessed
+    batch therefore sees the exact pre-batch state again, and its
+    ``merge`` writes (keyed on hash / doc id) are bit-identical. Without
+    the batch-id fence, a crash between the state commit and the
+    checkpoint advance would make the replay drop the batch's own
+    paragraphs as "seen".
+    """
+    process = paragraph_dedup_batch(store, id_col, paras_col, out_table, seen_table)
+    return (
+        docs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )
+
+
+def paragraph_dedup_batch(
+    store,
+    id_col: str = "doc_id",
+    paras_col: str = "paras",
+    out_table: str = "clean_docs",
+    seen_table: str = "seen_paras",
+):
+    """The per-microbatch callable behind :func:`streaming_paragraph_dedup`
+    — exposed so replay behavior (at-least-once batch reprocessing) is
+    directly testable and so a non-streaming incremental job can drive the
+    same logic per run."""
+    from german_newspaper_crawler_spark.functions.hashing import hash64
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        occ = batch_df.select(
+            F.col(id_col), F.posexplode(F.col(paras_col)).alias("pos", "para")
+        ).withColumn("__h", hash64(F.col("para")))
+        totals = batch_df.select(
+            F.col(id_col), F.size(F.col(paras_col)).cast("long").alias("n_total")
+        )
+        if store.exists(seen_table):
+            prior = (
+                store.read(spark, seen_table)
+                .where(F.col("added_batch") < F.lit(batch_id))
+                .select("__h")
+            )
+            occ = occ.join(prior, "__h", "left_anti")
+        winners = occ.groupBy("__h").agg(
+            F.min(F.struct(F.col(id_col), F.col("pos"))).alias("w")
+        )
+        kept = (
+            occ.join(winners, "__h")
+            .where(
+                (F.col(f"w.{id_col}") == F.col(id_col))
+                & (F.col("w.pos") == F.col("pos"))
+            )
+            .select(id_col, "pos", "para")
+        )
+        rebuilt = kept.groupBy(id_col).agg(
+            F.array_sort(F.collect_list(F.struct("pos", "para"))).alias("ps")
+        ).select(
+            id_col,
+            F.array_join(F.col("ps").getField("para"), "\n\n").alias("clean_text"),
+            F.size("ps").cast("long").alias("n_kept"),
+        )
+        out = totals.join(rebuilt, id_col, "left").select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            "n_total",
+        )
+        store.merge(spark, out_table, out, keys=[id_col])
+        store.merge(
+            spark, seen_table,
+            occ.select("__h").distinct()
+            .withColumn("added_batch", F.lit(batch_id).cast("long")),
+            keys=["__h"],
+        )
+
+    return process

@@ -209,3 +209,100 @@ def test_streaming_minhash_candidates_match_batch_across_restarts(spark, tmp_pat
         for r in spark.read.parquet(out).dropDuplicates(["a", "b"]).collect()
     }
     assert got == expected
+
+
+def test_streaming_paragraph_dedup_matches_sequential_batches_and_restarts(
+    spark, tmp_path
+):
+    """foreachBatch paragraph dedup: (a) across the stream's lifetime every
+    repeated paragraph survives exactly once, in its first-arrival doc;
+    (b) restart from checkpoint processes only new files and still dedups
+    against ALL prior state; (c) reprocessing a batch (at-least-once
+    replay) is bit-identical thanks to the added_batch fence."""
+    from pyspark.sql.types import ArrayType, LongType
+
+    from german_newspaper_crawler_spark.sources.store import SnapshotStore
+    from german_newspaper_crawler_spark.streaming.incremental import (
+        streaming_paragraph_dedup,
+    )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("paras", ArrayType(StringType())),
+        ]
+    )
+    src = str(tmp_path / "docs")
+    ckpt = str(tmp_path / "ckpt")
+    store = SnapshotStore(str(tmp_path / "store"))
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    # batch 1: P-boiler repeats within the batch (doc 1 wins over doc 2)
+    write_batch(
+        [(1, ["P-boiler", "P-a1"]), (2, ["P-boiler", "P-a2"])]
+    )
+    # batch 2: P-boiler repeats ACROSS batches; doc 3 contributes one
+    # fresh para; doc 4 is all-duplicate -> empty clean_text
+    write_batch([(3, ["P-boiler", "P-b1"]), (4, ["P-boiler", "P-a1"])])
+
+    def run():
+        stream = streaming_paragraph_dedup(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            store, ckpt,
+        )
+        stream.start().awaitTermination()
+
+    run()
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_kept"], r["n_total"])
+        for r in store.read(spark, "clean_docs").collect()
+    }
+    assert got == {
+        1: ("P-boiler\n\nP-a1", 2, 2),
+        2: ("P-a2", 1, 2),
+        3: ("P-b1", 1, 2),
+        4: ("", 0, 2),
+    }
+
+    # (b) restart: only the new file is processed; dedup sees all prior
+    write_batch([(5, ["P-b1", "P-c1"]), (6, ["P-c1", "P-c2"])])
+    run()
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_kept"])
+        for r in store.read(spark, "clean_docs").collect()
+    }
+    assert got[5] == ("P-c1", 1)  # P-b1 seen in batch 2; P-c1 fresh, 5 wins
+    assert got[6] == ("P-c2", 1)  # P-c1 lost to doc 5 within the batch
+    assert got[1] == ("P-boiler\n\nP-a1", 2)  # untouched
+
+    # (c) replay fence: re-running an ALREADY-COMMITTED batch id must not
+    # drop its own paragraphs (crash between state commit and checkpoint)
+    seen_before = {
+        (r["__h"], r["added_batch"])
+        for r in store.read(spark, "seen_paras").collect()
+    }
+    replay_df = spark.createDataFrame(
+        [(5, ["P-b1", "P-c1"]), (6, ["P-c1", "P-c2"])], schema
+    )
+    # the per-batch callable is exposed — invoke directly with the batch
+    # id the stream assigned (one file per batch, 0-indexed)
+    from german_newspaper_crawler_spark.streaming.incremental import (
+        paragraph_dedup_batch,
+    )
+    paragraph_dedup_batch(store)(replay_df, 2)
+    got2 = {
+        r["doc_id"]: (r["clean_text"], r["n_kept"])
+        for r in store.read(spark, "clean_docs").collect()
+    }
+    assert got2[5] == ("P-c1", 1) and got2[6] == ("P-c2", 1)
+    seen_after = {
+        (r["__h"], r["added_batch"])
+        for r in store.read(spark, "seen_paras").collect()
+    }
+    assert seen_after == seen_before
