@@ -544,9 +544,15 @@ def paragraph_dedup(
     A 64-bit collision merges two distinct paragraphs (P ≈ n²/2⁶⁵ —
     the MinHash-family trade, see _hashed_shingles).
     """
-    occ = df.select(
-        F.col(id_col), F.posexplode(F.col(paras_col)).alias("pos", "para")
-    ).withColumn("__h", hash64(F.col("para")))
+    # null array elements are ignored (a null paragraph would hash to a
+    # null key and spuriously "dedup" against every other null)
+    occ = (
+        df.select(
+            F.col(id_col), F.posexplode(F.col(paras_col)).alias("pos", "para")
+        )
+        .where(F.col("para").isNotNull())
+        .withColumn("__h", hash64(F.col("para")))
+    )
     winners = occ.groupBy("__h").agg(
         F.min(F.struct(F.col(id_col), F.col("pos"))).alias("w")
     )
@@ -556,7 +562,10 @@ def paragraph_dedup(
         .select(id_col, "pos", "para")
     )
     totals = df.select(
-        F.col(id_col), F.size(F.col(paras_col)).cast("long").alias("n_total")
+        F.col(id_col),
+        F.size(
+            F.filter(F.col(paras_col), lambda x: x.isNotNull())
+        ).cast("long").alias("n_total"),
     )
     rebuilt = kept.groupBy(id_col).agg(
         F.array_sort(F.collect_list(F.struct("pos", "para"))).alias("ps")

@@ -338,11 +338,19 @@ def paragraph_dedup_batch(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        occ = batch_df.select(
-            F.col(id_col), F.posexplode(F.col(paras_col)).alias("pos", "para")
-        ).withColumn("__h", hash64(F.col("para")))
+        occ = (
+            batch_df.select(
+                F.col(id_col),
+                F.posexplode(F.col(paras_col)).alias("pos", "para"),
+            )
+            .where(F.col("para").isNotNull())  # null key would collapse in merge
+            .withColumn("__h", hash64(F.col("para")))
+        )
         totals = batch_df.select(
-            F.col(id_col), F.size(F.col(paras_col)).cast("long").alias("n_total")
+            F.col(id_col),
+            F.size(
+                F.filter(F.col(paras_col), lambda x: x.isNotNull())
+            ).cast("long").alias("n_total"),
         )
         if store.exists(seen_table):
             prior = (

@@ -285,3 +285,23 @@ def test_prefix_filter_pairs_identical_to_plain_inverted_index(spark):
         }
         assert got == want, (t, got ^ want)
         assert want  # the fixture must actually produce pairs
+
+
+def test_paragraph_dedup_ignores_null_paragraphs(spark):
+    """A null array element must not hash to a shared null key (which would
+    'dedup' every null against every other) nor count toward n_total."""
+    from german_newspaper_crawler_spark.operators.dedup import paragraph_dedup
+
+    df = spark.createDataFrame(
+        [(1, ["A", None, "B"]), (2, [None, "A"]), (3, [None])],
+        "doc_id long, paras array<string>",
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_kept"], r["n_total"])
+        for r in paragraph_dedup(df, "doc_id", "paras").collect()
+    }
+    assert got == {
+        1: ("A\n\nB", 2, 2),  # null slot ignored entirely
+        2: ("", 0, 1),        # its only non-null para lost to doc 1
+        3: ("", 0, 0),        # all-null doc: present, empty, zero total
+    }
