@@ -15,10 +15,28 @@ rules at scale:
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from german_newspaper_crawler_spark.functions.hashing import hash64
+
+
+def _release_cache_with(result: DataFrame, cached: DataFrame) -> DataFrame:
+    """Unpersist ``cached`` (non-blocking) when ``result`` is garbage
+    collected — library callers that persist intermediates through us get
+    automatic release without holding a handle; the cache lives exactly as
+    long as the derived plan object that reads it."""
+
+    def _release(c=cached):
+        try:
+            c.unpersist(False)
+        except Exception:
+            pass  # session already stopped — nothing left to free
+
+    weakref.finalize(result, _release)
+    return result
 
 
 def exact_dedup(df: DataFrame, id_col: str, sig_col) -> DataFrame:
@@ -92,8 +110,8 @@ def phash_suppress_near_dups(
     hash_col: str = "phash",
     order_cols: list[str] | None = None,
     max_hamming: int = 4,
-    n_bands: int = 4,
-    band_bits: int = 15,
+    n_bands: int | None = None,
+    band_bits: int | None = None,
 ) -> DataFrame:
     """Post-fetch pHash near-dup suppression — the crawl's G6 leg, the
     distributed replacement for the reference's hash-membership skip
@@ -113,8 +131,20 @@ def phash_suppress_near_dups(
       and deterministic in the explicit order key. For exact duplicates
       (hamming 0) the two rules coincide.
 
+    Banding defaults guarantee exact recall at the configured radius:
+    ``n_bands`` resolves to ``max_hamming + 1`` (pigeonhole — any pair within
+    ``max_hamming`` shares at least one unchanged band) and ``band_bits`` to
+    ``64 // n_bands`` (e.g. 5 bands x 12 bits at the default radius 4; a
+    differing bit above ``n_bands * band_bits`` only strengthens recall).
+    Passing ``n_bands <= max_hamming`` explicitly makes recall probabilistic
+    at the boundary radius.
+
     Returns ``batch`` minus suppressed rows, schema unchanged.
     """
+    if n_bands is None:
+        n_bands = max_hamming + 1
+    if band_bits is None:
+        band_bits = 64 // n_bands
     mask = (1 << band_bits) - 1
     order_cols = list(order_cols or [])
     band_idx = F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("__b")
@@ -316,7 +346,10 @@ def _hashed_shingles(
     64-bit collision merges two shingles (P ≈ n²/2⁶⁵ — immaterial next to
     the near-dup thresholds, and the universal trade every MinHash-family
     system makes). Lazily persisted: one explode feeds the three
-    inverted-index scans within the final job."""
+    inverted-index scans within the final job; public callers tie the
+    cache's release to their result DataFrame via
+    :func:`_release_cache_with`, so no block leaks past the result's
+    lifetime."""
     from pyspark import StorageLevel
 
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
@@ -355,7 +388,9 @@ def ngram_jaccard_pairs(
     if max_df is not None:
         sh = _hashed_shingles(df, id_col, text_col, n)
         if prefix_filter:
-            return _prefix_filtered_pairs(sh, id_col, max_df, threshold)
+            return _release_cache_with(
+                _prefix_filtered_pairs(sh, id_col, max_df, threshold), sh
+            )
         common, sizes = _capped_inverted_index(sh, id_col, max_df)
         sa = sizes.select(F.col(id_col).alias("a"), F.col("n_sh").alias("na"))
         sb = sizes.select(F.col(id_col).alias("b"), F.col("n_sh").alias("nb"))
@@ -364,12 +399,13 @@ def ngram_jaccard_pairs(
             / (F.col("na") + F.col("nb") - F.col("c")).cast("double"),
             6,
         )
-        return (
+        return _release_cache_with(
             common.join(sa, "a")
             .join(sb, "b")
             .withColumn("jaccard", jac)
             .where(F.col("jaccard") >= threshold)
-            .select("a", "b", "jaccard")
+            .select("a", "b", "jaccard"),
+            sh,
         )
     sh = word_shingles(df, id_col, text_col, n)
     # uncapped path: classic inverted-index self-join — per-group memory
@@ -493,8 +529,9 @@ def containment_pairs(
     ``max_df`` stop-shingle cap); never pair enumeration. Output:
     (inner, outer, containment[6dp]).
     """
+    cached_sh = None
     if max_df is not None:
-        sh = _hashed_shingles(df, id_col, text_col, n)
+        sh = cached_sh = _hashed_shingles(df, id_col, text_col, n)
         common, sizes = _capped_inverted_index(sh, id_col, max_df)
     else:
         sh = word_shingles(df, id_col, text_col, n)
@@ -518,7 +555,8 @@ def containment_pairs(
         F.col("b").alias("inner"), F.col("a").alias("outer"),
         F.round(F.col("c") / F.col("nb"), 6).alias("containment"),
     )
-    return a_in_b.unionByName(b_in_a).where(F.col("containment") >= threshold)
+    out = a_in_b.unionByName(b_in_a).where(F.col("containment") >= threshold)
+    return out if cached_sh is None else _release_cache_with(out, cached_sh)
 
 
 def paragraph_dedup(

@@ -100,8 +100,13 @@ def grouped_cumsum(
 
     Values are a pure function of ``(group, order)`` — partition boundaries
     never change the result, so the output is partition-count deterministic.
-    Order keys must be unique within a group (ties would make ANY running
-    sum, window or otherwise, ill-defined).
+    Preconditions, both enforced: ``group_col`` must be non-null (a running
+    sum "within group NULL" is ambiguous — raises ``ValueError``, detected
+    on the already-collected partials so no extra job runs), and order keys
+    must be unique within a group (ties make ANY running sum ill-defined —
+    range partitioning co-locates equal keys and the partition sort makes
+    duplicates adjacent, so a vectorized per-batch check plus a
+    batch-boundary carry detects every violation worker-side).
     """
     parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     ordered = (
@@ -115,6 +120,12 @@ def grouped_cumsum(
     partials = (
         ordered.groupBy("__pid", group_col).agg(F.sum(value_col).alias("s")).collect()
     )
+    if any(r[group_col] is None for r in partials):
+        ordered.unpersist(False)
+        raise ValueError(
+            f"grouped_cumsum: null values in group column {group_col!r} — "
+            "filter them out or assign a sentinel group first"
+        )
     offsets: dict[tuple[int, object], int] = {}
     cur_group: object = object()
     acc = 0
@@ -127,15 +138,28 @@ def grouped_cumsum(
     out_schema = StructType(
         list(df.schema.fields) + [StructField(cum_col, LongType(), False)]
     )
+    key_cols = [group_col, *order_cols]
 
     def add_cumsum(batches):
         carried: dict = {}
         pid = None
+        last_key = None
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             if pid is None:
                 pid = int(pdf["__pid"].iloc[0])
+            dup = pdf.duplicated(subset=key_cols)
+            first_key = tuple(pdf[c].iloc[0] for c in key_cols)
+            if dup.any() or first_key == last_key:
+                bad = first_key if first_key == last_key else tuple(
+                    pdf.loc[dup.idxmax(), key_cols]
+                )
+                raise ValueError(
+                    f"grouped_cumsum: duplicate order key {bad!r} — "
+                    f"({group_col}, {order_cols}) must be unique per row"
+                )
+            last_key = tuple(pdf[c].iloc[-1] for c in key_cols)
             within = pdf.groupby(group_col, sort=False)[value_col].cumsum()
             bmap = {
                 g: carried.get(g, offsets.get((pid, g), 0))

@@ -255,6 +255,8 @@ def semdedup(
 
     @F.pandas_udf(IntegerType())
     def cell_of(vecs: pd.Series) -> pd.Series:
+        if not len(vecs):  # empty Arrow batch → np.asarray([]) is 1-D
+            return pd.Series([], dtype="int32")
         m = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
         m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
         sims = np.round(m @ centroids.T, 6)
@@ -336,6 +338,8 @@ def ivf_topk(
     # ann_ivf_topk recomputes the hash-sampled centroids relationally)
     @F.pandas_udf(IntegerType())
     def cell_of(vecs: pd.Series) -> pd.Series:
+        if not len(vecs):  # empty Arrow batch → np.asarray([]) is 1-D
+            return pd.Series([], dtype="int32")
         m = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
         m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
         sims = np.round(m @ centroids.T, 6)
@@ -343,6 +347,8 @@ def ivf_topk(
 
     @F.pandas_udf(ArrayType(IntegerType()))
     def probe_cells(vecs: pd.Series) -> pd.Series:
+        if not len(vecs):
+            return pd.Series([], dtype=object)
         m = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
         m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
         sims = np.round(m @ centroids.T, 6)

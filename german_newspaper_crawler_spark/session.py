@@ -41,6 +41,46 @@ def _heap(master: str, fallback_cpus: int) -> str:
     return f"{max(8, min(3 * k // 2, 48))}g"
 
 
+def _heap_gib(heap: str) -> float:
+    """'48g' / '4096m' → GiB (unparseable → inf, disabling pretouch)."""
+    h = heap.strip().lower()
+    try:
+        if h.endswith("g"):
+            return float(h[:-1])
+        if h.endswith("m"):
+            return float(h[:-1]) / 1024
+        if h.endswith("k"):
+            return float(h[:-1]) / (1024 * 1024)
+        return float(h) / (1024**3)
+    except ValueError:
+        return float("inf")
+
+
+def _pretouch_ok(heap: str) -> bool:
+    """Whether to hard-commit the heap up front (-Xms=heap + AlwaysPreTouch).
+
+    The pretouch pair is a large-box throughput win (see get_spark) but
+    turns a lazily-committed >=8g heap into an up-front commit — on hosts
+    with less free memory than the heap the JVM would fail at session start
+    where lazy commit ran fine. Gate: MemAvailable must exceed heap + 2 GiB
+    headroom. ``SPARK_GRAFT_PRETOUCH=1/0`` forces either way; platforms
+    without /proc/meminfo keep the flags (the sandbox/cluster case).
+    """
+    env = os.environ.get("SPARK_GRAFT_PRETOUCH")
+    if env is not None:
+        return env not in ("0", "false", "no")
+    avail = float("inf")
+    try:
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                if line.startswith("MemAvailable:"):
+                    avail = int(line.split()[1]) / (1024 * 1024)
+                    break
+    except (OSError, ValueError, IndexError):
+        pass
+    return avail >= _heap_gib(heap) + 2.0
+
+
 def get_spark(
     app_name: str = "german_newspaper_crawler_spark",
     master: str | None = None,
@@ -89,18 +129,6 @@ def get_spark(
         # scale-up brings 4N heaps on a real cluster — a fixed heap at
         # high core counts turns GC into a false serial bottleneck
         .config("spark.driver.memory", heap)
-        # ParallelGC: the enrichment stages allocate hundreds of millions of
-        # short-lived structs; G1's concurrent machinery collapses under 32
-        # allocation-heavy task threads (measured 8x slower than ParallelGC
-        # on the pos-tag transform). -Xms=heap + AlwaysPreTouch: commit and
-        # zero the whole heap at JVM start — a lazily-committed large heap
-        # page-faults INSIDE the hot stages (measured 2.6x on a pure
-        # codegen stage at 16 cores, 32g heap: 9.0 -> 23.3M rows/s). On a
-        # cluster the same flags go to spark.executor.extraJavaOptions.
-        .config(
-            "spark.driver.extraJavaOptions",
-            f"-XX:+UseParallelGC -Xms{heap} -XX:+AlwaysPreTouch",
-        )
         # cached round batches carry html_gz / image bytes that are already
         # deflate-compressed — columnar re-compression is pure CPU waste
         # (measured ~12% of the fused crawl stage); cache footprint stays
@@ -109,6 +137,25 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
-    for k, v in (extra_conf or {}).items():
+    # ParallelGC: the enrichment stages allocate hundreds of millions of
+    # short-lived structs; G1's concurrent machinery collapses under 32
+    # allocation-heavy task threads (measured 8x slower than ParallelGC on
+    # the pos-tag transform). -Xms=heap + AlwaysPreTouch: commit and zero
+    # the whole heap at JVM start — a lazily-committed large heap
+    # page-faults INSIDE the hot stages (measured 2.6x on a pure codegen
+    # stage at 16 cores, 32g heap: 9.0 -> 23.3M rows/s); gated on free
+    # memory so small hosts keep lazy commit (_pretouch_ok). On a cluster
+    # the same flags go to spark.executor.extraJavaOptions. User-supplied
+    # extraJavaOptions are MERGED after ours (JVM last-flag-wins lets
+    # callers override individual flags without losing the GC/heap tuning).
+    java_opts = "-XX:+UseParallelGC"
+    if _pretouch_ok(heap):
+        java_opts += f" -Xms{heap} -XX:+AlwaysPreTouch"
+    conf = dict(extra_conf or {})
+    user_java = conf.pop("spark.driver.extraJavaOptions", None)
+    if user_java:
+        java_opts = f"{java_opts} {user_java}"
+    builder = builder.config("spark.driver.extraJavaOptions", java_opts)
+    for k, v in conf.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -305,3 +305,67 @@ def test_paragraph_dedup_ignores_null_paragraphs(spark):
         2: ("", 0, 1),        # its only non-null para lost to doc 1
         3: ("", 0, 0),        # all-null doc: present, empty, zero total
     }
+
+
+def test_grouped_cumsum_rejects_null_group(spark):
+    """Null group values are an explicit error (a running sum 'within group
+    NULL' is ambiguous), not a driver-side TypeError from sorting None
+    against str — the round-3 ADVICE defect."""
+    from german_newspaper_crawler_spark.operators.ids import grouped_cumsum
+
+    df = spark.createDataFrame(
+        [("a", 1, 10), (None, 2, 20), ("b", 3, 30)],
+        "g string, id long, v long",
+    )
+    with pytest.raises(ValueError, match="null values in group column"):
+        grouped_cumsum(df, "g", ["id"], "v", num_partitions=3)
+
+
+def test_grouped_cumsum_rejects_duplicate_order_key(spark):
+    """The documented unique-(group, order)-key precondition is enforced,
+    not silently violated: duplicates are adjacent after the range sort, so
+    the worker-side per-batch check catches every violation."""
+    from pyspark.errors.exceptions.captured import PythonException
+
+    from german_newspaper_crawler_spark.operators.ids import grouped_cumsum
+
+    df = spark.createDataFrame(
+        [("a", 1, 10), ("a", 1, 20), ("a", 2, 30)],
+        "g string, id long, v long",
+    )
+    with pytest.raises(PythonException, match="duplicate order key"):
+        grouped_cumsum(df, "g", ["id"], "v", num_partitions=2).collect()
+
+
+def test_phash_suppress_default_bands_catch_boundary_radius(spark):
+    """Recall at the boundary radius (round-3 ADVICE): a pair differing in
+    EXACTLY max_hamming=4 bits, one per 15-bit band, escapes 4x15 banding
+    (no shared band) but is guaranteed caught by the default
+    n_bands=max_hamming+1 (5x12) via pigeonhole."""
+    from pyspark.sql import functions as F
+
+    from german_newspaper_crawler_spark.operators.dedup import (
+        phash_suppress_near_dups,
+    )
+
+    base = 0x0123456789AB
+    # one flipped bit in each of the four 15-bit bands → hamming 4
+    near = base ^ ((1 << 0) | (1 << 15) | (1 << 30) | (1 << 45))
+    seen = spark.createDataFrame([(base,)], "phash long")
+    batch = spark.createDataFrame([(1, near), (2, 1 << 59)], "id long, phash long")
+
+    kept_default = {
+        r["id"]
+        for r in phash_suppress_near_dups(
+            batch, seen, id_col="id", max_hamming=4
+        ).collect()
+    }
+    assert kept_default == {2}  # boundary pair suppressed, far row kept
+
+    kept_4x15 = {
+        r["id"]
+        for r in phash_suppress_near_dups(
+            batch, seen, id_col="id", max_hamming=4, n_bands=4, band_bits=15
+        ).collect()
+    }
+    assert 1 in kept_4x15  # the documented probabilistic miss at 4 bands
