@@ -6,13 +6,15 @@ has no media libraries, so:
 
 * **image** decode/resize are REAL (in-repo numpy+zlib PNG codec + area
   resize — the same code the crawl uses),
-* **audio feature-extract** and **video frame-sample** have REAL Spark
-  plumbing (schemas, batch shapes, partitioning) with the codec boundary
-  stubbed: a deterministic fake decoder handles the in-repo fixture formats
-  and any real format raises ``NotImplementedError`` listing the library a
-  deployment would plug in (librosa/ffmpeg). Every call site crosses one
-  narrow ``decode_*`` function, so swapping in the real codec touches
-  nothing else.
+* **audio** decode is REAL for RIFF/WAVE PCM (pure-numpy chunk parser:
+  8/16/24/32-bit integer PCM + 32-bit IEEE float, mono-mixdown for
+  multichannel, WAVE_FORMAT_EXTENSIBLE unwrapped); compressed codecs
+  (ADPCM/MP3/...) raise ``NotImplementedError`` listing the library a
+  deployment would plug in (librosa/soundfile),
+* **video frame-sample** has REAL Spark plumbing (schemas, batch shapes,
+  partitioning) with the codec boundary stubbed (ffmpeg/PyAV in
+  deployment). Every call site crosses one narrow ``decode_*`` function,
+  so swapping in the real codec touches nothing else.
 
 Fake fixture formats (deterministic, for plumbing tests):
   audio: b"FAKA" + int32 sample_rate + int16 PCM samples
@@ -43,9 +45,85 @@ def encode_fake_audio(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
     return FAKE_AUDIO_MAGIC + struct.pack(">I", sample_rate) + samples.astype("<i2").tobytes()
 
 
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Minimal RIFF/WAVE PCM16 writer. ``samples``: int16 array, shape (n,)
+    for mono or (n, channels) interleaved on write. The real counterpart of
+    :func:`encode_fake_audio`, used by fixtures and tests."""
+    pcm = np.asarray(samples).astype("<i2")
+    n_ch = 1 if pcm.ndim == 1 else pcm.shape[1]
+    data = pcm.tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_ch, sample_rate, sample_rate * n_ch * 2, n_ch * 2, 16
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM decoder, pure numpy (spec: RIFF chunks are 16-bit-word
+    aligned; WAVE_FORMAT_EXTENSIBLE carries the real format code in the
+    SubFormat GUID). → (float32 mono samples in [-1,1], sample_rate)."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    fmt = raw = None
+    pos = 12
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (sz,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        chunk = data[pos + 8 : pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt = chunk
+        elif cid == b"data":
+            raw = chunk
+        pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+    if fmt is None or len(fmt) < 16 or raw is None:
+        raise ValueError("RIFF/WAVE stream missing fmt/data chunk")
+    audio_format, n_ch, sr, _, _, bits = struct.unpack("<HHIIHH", fmt[:16])
+    if audio_format == 0xFFFE and len(fmt) >= 26:  # EXTENSIBLE → SubFormat
+        (audio_format,) = struct.unpack("<H", fmt[24:26])
+    if audio_format == 1:  # integer PCM
+        if bits == 16:
+            x = np.frombuffer(raw[: len(raw) // 2 * 2], "<i2").astype(np.float32)
+            x /= 32768.0
+        elif bits == 8:  # 8-bit WAV is unsigned
+            x = (np.frombuffer(raw, "u1").astype(np.float32) - 128.0) / 128.0
+        elif bits == 32:
+            x = np.frombuffer(raw[: len(raw) // 4 * 4], "<i4").astype(np.float32)
+            x /= 2147483648.0
+        elif bits == 24:
+            b3 = np.frombuffer(raw[: len(raw) // 3 * 3], "u1").reshape(-1, 3)
+            vals = (
+                b3[:, 0].astype(np.int32)
+                | (b3[:, 1].astype(np.int32) << 8)
+                | (b3[:, 2].astype(np.int32) << 16)
+            )
+            vals = np.where(vals >= 1 << 23, vals - (1 << 24), vals)
+            x = vals.astype(np.float32) / 8388608.0
+        else:
+            raise NotImplementedError(f"{bits}-bit integer PCM unsupported")
+    elif audio_format == 3 and bits == 32:  # IEEE float
+        x = np.frombuffer(raw[: len(raw) // 4 * 4], "<f4").astype(np.float32)
+    else:
+        raise NotImplementedError(
+            f"WAV format code {audio_format} requires librosa/soundfile "
+            "(not in container)"
+        )
+    if n_ch > 1:
+        x = x[: len(x) // n_ch * n_ch].reshape(-1, n_ch).mean(axis=1)
+        x = x.astype(np.float32)
+    return x, int(sr)
+
+
 def decode_audio(data: bytes) -> tuple[np.ndarray, int]:
-    """→ (float32 samples in [-1,1], sample_rate). STUB: real deployments
-    plug librosa/soundfile here; only the fixture format decodes in-repo."""
+    """→ (float32 mono samples in [-1,1], sample_rate). REAL for RIFF/WAVE
+    PCM (:func:`_decode_wav`) and the in-repo fixture format; compressed
+    codecs raise ``NotImplementedError`` (librosa/soundfile in deployment)."""
+    if data[:4] == b"RIFF":
+        return _decode_wav(data)
     if data[:4] == FAKE_AUDIO_MAGIC:
         (sr,) = struct.unpack(">I", data[4:8])
         pcm = np.frombuffer(data[8:], "<i2").astype(np.float32) / 32768.0
@@ -167,7 +245,7 @@ def audio_features(df: DataFrame, id_col: str, bytes_col: str) -> DataFrame:
             for mid, b in zip(pdf[id_col], pdf[bytes_col]):
                 try:
                     pcm, sr = decode_audio(bytes(b))
-                except NotImplementedError:
+                except (NotImplementedError, ValueError):
                     continue  # quarantine path at scale
                 rows.append(
                     (

@@ -1640,8 +1640,14 @@ def _media_df(spark):
 
     rows = []
     for i in range(8):
-        pcm = (np.sin(np.linspace(0, 30 * (i + 1), 8000)) * 18000).astype("<i2")
-        rows.append((f"aud-{i}", bytearray(MM.encode_fake_audio(pcm, 8000))))
+        ph = np.linspace(0, 30 * (i + 1), 8000)
+        pcm = (np.sin(ph) * 18000).astype("<i2")
+        if i % 3 == 2:  # stereo clips exercise the mono-mixdown leg
+            right = (np.sin(ph + 0.25) * 9000).astype("<i2")
+            wav = MM.encode_wav(np.stack([pcm, right], axis=1), 8000)
+        else:
+            wav = MM.encode_wav(pcm, 8000)
+        rows.append((f"aud-{i}", bytearray(wav)))
     for i in range(4):
         frames = np.stack([make_image(500 + i * 10 + f, size=32) for f in range(6)])
         rows.append((f"vid-{i}", bytearray(MM.encode_fake_video(frames))))
@@ -1651,16 +1657,36 @@ def _media_df(spark):
 @register(
     "mm_audio_features",
     "Multimodal audio feature extraction over opaque binary columns "
-    "(mapInPandas, numpy-vectorized; codec boundary stubbed per container "
-    "limits — plumbing tested in tests/test_multimodal.py).",
-    oracle=None,
+    "(mapInPandas, numpy-vectorized) with a REAL in-repo RIFF/WAVE PCM "
+    "decoder (operators/multimodal.py::_decode_wav — 8/16/24/32-bit int + "
+    "float32, mono-mixdown; stereo clips in the fixture exercise it). "
+    "Oracle = precomputed feature literals: the fixture is deterministic "
+    "(fixed sine PCM), so expected (sr, duration, rms, zero-crossings) are "
+    "computed once offline and inlined; rounding margins verified >= 0.037 "
+    "of the 4dp unit. Regenerate via the snippet in tests/test_multimodal.py"
+    "::test_mm_audio_oracle_literals_current.",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('aud-0', CAST(8000 AS BIGINT), CAST(1.0 AS DOUBLE), CAST(0.3894 AS DOUBLE), CAST(9 AS BIGINT)),
+      ('aud-1', CAST(8000 AS BIGINT), CAST(1.0 AS DOUBLE), CAST(0.3874 AS DOUBLE), CAST(19 AS BIGINT)),
+      ('aud-2', CAST(8000 AS BIGINT), CAST(1.0 AS DOUBLE), CAST(0.2901 AS DOUBLE), CAST(28 AS BIGINT)),
+      ('aud-3', CAST(8000 AS BIGINT), CAST(1.0 AS DOUBLE), CAST(0.3876 AS DOUBLE), CAST(38 AS BIGINT)),
+      ('aud-4', CAST(8000 AS BIGINT), CAST(1.0 AS DOUBLE), CAST(0.389 AS DOUBLE), CAST(47 AS BIGINT)),
+      ('aud-5', CAST(8000 AS BIGINT), CAST(1.0 AS DOUBLE), CAST(0.289 AS DOUBLE), CAST(57 AS BIGINT)),
+      ('aud-6', CAST(8000 AS BIGINT), CAST(1.0 AS DOUBLE), CAST(0.3888 AS DOUBLE), CAST(66 AS BIGINT)),
+      ('aud-7', CAST(8000 AS BIGINT), CAST(1.0 AS DOUBLE), CAST(0.3882 AS DOUBLE), CAST(75 AS BIGINT))
+    ) AS v(media_id, sample_rate, duration_s, rms, zero_crossings)
+    """,
 )
 def mm_audio_features(spark, sf_dir):
     from german_newspaper_crawler_spark.operators.multimodal import audio_features
 
     return audio_features(_media_df(spark), "media_id", "bytes").select(
-        "media_id", "sample_rate", F.round("duration_s", 4).alias("duration_s"),
-        F.round("rms", 4).alias("rms"), "zero_crossings",
+        "media_id",
+        F.col("sample_rate").cast("long").alias("sample_rate"),
+        F.round("duration_s", 4).alias("duration_s"),
+        F.round("rms", 4).alias("rms"),
+        "zero_crossings",
     )
 
 

@@ -78,10 +78,122 @@ def test_video_frame_sampling_plumbing(spark, media_df):
 
 
 def test_real_formats_raise_not_implemented():
-    with pytest.raises(NotImplementedError):
+    import struct
+
+    # a COMPRESSED wav (format code 85 = MPEG layer 3) names the deployment
+    # library; a truncated RIFF header is a parse error, not a codec gap
+    fmt = struct.pack("<HHIIHH", 85, 1, 8000, 8000, 1, 0)
+    mp3_wav = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", 0)
+    )
+    with pytest.raises(NotImplementedError, match="librosa"):
+        MM.decode_audio(mp3_wav)
+    with pytest.raises(ValueError):
         MM.decode_audio(b"RIFF....WAVEfmt ")
     with pytest.raises(NotImplementedError):
+        MM.decode_audio(b"mystery-bytes-no-magic!")
+    with pytest.raises(NotImplementedError):
         MM.decode_video(b"\x00\x00\x00 ftypisom")
+
+
+def test_wav_decode_roundtrip_and_bit_depths():
+    """The real RIFF/WAVE decoder: PCM16 round-trips the encoder exactly;
+    8/24/32-bit int and float32 land within quantization error; stereo
+    mixes down to the channel mean."""
+    import struct
+
+    sr = 8000
+    ref = np.sin(np.linspace(0, 20, 1000)).astype(np.float32) * 0.5
+    pcm16 = (ref * 32768).astype("<i2")
+    got, gsr = MM.decode_audio(MM.encode_wav(pcm16, sr))
+    assert gsr == sr and len(got) == len(ref)
+    assert np.array_equal(got, pcm16.astype(np.float32) / 32768.0)
+
+    # stereo → mean of channels
+    st = np.stack([pcm16, np.zeros_like(pcm16)], axis=1)
+    got2, _ = MM.decode_audio(MM.encode_wav(st, sr))
+    assert np.allclose(got2, got / 2, atol=1e-7)
+
+    def wav(fmt_code, bits, payload):
+        fmt = struct.pack("<HHIIHH", fmt_code, 1, sr, sr * bits // 8, bits // 8, bits)
+        return (
+            b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(payload)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(payload)) + payload
+        )
+
+    u8 = ((ref * 128) + 128).clip(0, 255).astype("u1")
+    got8, _ = MM.decode_audio(wav(1, 8, u8.tobytes()))
+    assert np.abs(got8 - ref).max() < 1 / 64
+
+    i32 = (ref.astype(np.float64) * 2147483648).clip(-(2**31), 2**31 - 1).astype("<i4")
+    got32, _ = MM.decode_audio(wav(1, 32, i32.tobytes()))
+    assert np.abs(got32 - ref).max() < 1e-6
+
+    i24 = (ref.astype(np.float64) * 8388608).clip(-(2**23), 2**23 - 1).astype("<i4")
+    b24 = np.zeros((len(i24), 3), "u1")
+    b24[:, 0] = i24 & 0xFF
+    b24[:, 1] = (i24 >> 8) & 0xFF
+    b24[:, 2] = (i24 >> 16) & 0xFF
+    got24, _ = MM.decode_audio(wav(1, 24, b24.tobytes()))
+    assert np.abs(got24 - ref).max() < 1e-5
+
+    gotf, _ = MM.decode_audio(wav(3, 32, ref.astype("<f4").tobytes()))
+    assert np.array_equal(gotf, ref)
+
+    # WAVE_FORMAT_EXTENSIBLE wrapping PCM16
+    sub = struct.pack("<H", 1) + b"\x00" * 14
+    fmt_ext = (
+        struct.pack("<HHIIHH", 0xFFFE, 1, sr, sr * 2, 2, 16)
+        + struct.pack("<H", 22) + struct.pack("<H", 16) + struct.pack("<I", 3) + sub
+    )
+    data = pcm16.tobytes()
+    ext = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt_ext) + 8 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt_ext)) + fmt_ext
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    gote, _ = MM.decode_audio(ext)
+    assert np.array_equal(gote, got)
+
+
+def test_mm_audio_oracle_literals_current():
+    """Drift guard: the precomputed literals inlined in the
+    mm_audio_features DuckDB oracle must equal what the deterministic WAV
+    fixture actually produces (regenerate the oracle with this recipe if
+    the fixture changes)."""
+    import re
+
+    from german_newspaper_crawler_spark.plans.queries import REGISTRY
+
+    expect = []
+    for i in range(8):
+        ph = np.linspace(0, 30 * (i + 1), 8000)
+        pcm = (np.sin(ph) * 18000).astype("<i2")
+        if i % 3 == 2:
+            right = (np.sin(ph + 0.25) * 9000).astype("<i2")
+            wav_bytes = MM.encode_wav(np.stack([pcm, right], axis=1), 8000)
+        else:
+            wav_bytes = MM.encode_wav(pcm, 8000)
+        p, sr = MM.decode_audio(wav_bytes)
+        expect.append(
+            (
+                f"aud-{i}", sr, round(len(p) / sr, 4),
+                round(float(np.sqrt(np.mean(p**2))), 4),
+                int(((p[:-1] * p[1:]) < 0).sum()),
+            )
+        )
+
+    oracle = REGISTRY["mm_audio_features"].oracle
+    lits = re.findall(
+        r"\('(aud-\d)', CAST\((\d+) AS BIGINT\), CAST\(([\d.]+) AS DOUBLE\), "
+        r"CAST\(([\d.]+) AS DOUBLE\), CAST\((\d+) AS BIGINT\)\)",
+        oracle,
+    )
+    got = [(m, int(s), float(d), float(r), int(z)) for m, s, d, r, z in lits]
+    assert got == expect
 
 
 def test_image_stats_features(spark):
