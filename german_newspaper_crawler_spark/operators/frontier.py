@@ -36,7 +36,9 @@ def bucket_of(host_col, n_buckets: int) -> F.Column:
 def frontier_from_seeds(seeds: DataFrame, n_buckets: int) -> DataFrame:
     """Seed rows → pending listing-frontier rows, ordered by config position
     (reference: domains processed in config order,
-    scr/german_newspaper_crawler.py:76)."""
+    scr/german_newspaper_crawler.py:76). The unpartitioned rank window is
+    bounded by CONFIG size (one row per configured domain), never by data —
+    the one place a global window is acceptable."""
     w = Window.orderBy("domain")
     return seeds.select(
         F.col("base_url").alias("url"),

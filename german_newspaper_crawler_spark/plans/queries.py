@@ -1276,9 +1276,39 @@ def j2_config_lookup_join(spark, sf_dir):
     "crawl_fixture_e2e",
     "Full crawl pipeline (SURVEY §3.1) over the deterministic fixtures with "
     "the injected fetcher: frontier → fetch → parse → dedup → merge rounds; "
-    "returns the final articles table. Exact-order/field parity vs the "
-    "reference simulator is asserted in tests/test_crawl_parity.py.",
-    oracle=None,
+    "returns the final articles table projection. Oracle = the reference "
+    "simulator's replay (tests/reference_sim.py::simulate_crawl — the "
+    "sequential model of /root/reference's main loop) inlined as literals: "
+    "fixtures are deterministic, so expected (_id, url, teaser, autor, "
+    "category, content_hash, domain) — crawl/upsert ORDER included via _id — "
+    "are computed once offline. Drift guard + regeneration recipe: "
+    "tests/test_crawl_parity.py::test_crawl_e2e_oracle_literals_current. "
+    "Fetch/extract internals (html_gz, pos_taggs, timestamps) stay "
+    "pytest-covered (non-scalar columns; same parity test).",
+    oracle="""
+    SELECT * FROM (VALUES
+      (CAST(1 AS BIGINT), 'https://h0-zeitung0.example/artikel/a0', 'Teaser 0: Ä-Umlaute und ß.', 'Autorin 0 Müller', 'Politik 0', '285c0bc25d100ae64eecd225da9ad53492de28ff1030f302094f2aa5519a1085', 'd0_paper0'),
+      (CAST(2 AS BIGINT), 'https://h0-zeitung0.example/artikel/a3', 'Beschreibung 3 mit Ö.', 'Redaktion 3', 'Politik 3', '47986cc01a123dbf079fbf030083188ec776e7437f709334c3e29a1701a8d41a', 'd0_paper0'),
+      (CAST(3 AS BIGINT), 'https://h0-zeitung0.example/artikel/a1', 'Beschreibung 1 mit Ö.', 'Redaktion 1', 'Kultur 1', '0257877d95bf339c5224ebcff100de122e36317309b833cca8d6b31dff133efa', 'd0_paper0'),
+      (CAST(4 AS BIGINT), 'https://h0-zeitung0.example/artikel/a4', 'Teaser 4: Ä-Umlaute und ß.', 'Autorin 4 Müller', 'Kultur 0', '0613ed5e7347f974536638d13fab222d62400400ff5c3502f750646f22ae8f54', 'd0_paper0'),
+      (CAST(5 AS BIGINT), 'https://h0-zeitung0.example/artikel/a2', 'Teaser 2: Ä-Umlaute und ß.', 'Autorin 2 Müller', 'Sport 2', 'f2b1068e1d014523c5e0b20020fe68a6c8b5b801c679b18047212bebe1df8daf', 'd0_paper0'),
+      (CAST(6 AS BIGINT), 'https://h0-zeitung0.example/artikel/a5', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), '67209d56f0a22652d56ffc426320d169a0b4791fec3d34e3513e5049db3d0f92', 'd0_paper0'),
+      (CAST(7 AS BIGINT), 'https://h0-zeitung0.example/dossier/h0-zeitung0', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), '2b8528765eca23b3a2a40bbc889ca7dffcc0098b3b87cd17a508d318133ed353', 'd0_paper0'),
+      (CAST(8 AS BIGINT), 'https://h0-zeitung0.example/static/broken0', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), '79d7d3912e7cdbb606bb0e17c00128ef88612cc0b92c26abd61a76e1c18400d2', 'd0_paper0'),
+      (CAST(9 AS BIGINT), 'https://h0-zeitung0.example/files/report.pdf', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), '4a3c2de58a003f62f8020e3032a9e696b19e2a6b8f7f1ed97aab97a5f5ddf28c', 'd0_paper0'),
+      (CAST(10 AS BIGINT), 'http://extern.example/von-h0-zeitung0', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), '017714f4886b95eb5c6627a4f9d9bc18d5a79c0c831402babe0acc171bc7f2dc', 'd0_paper0'),
+      (CAST(11 AS BIGINT), 'https://h1-zeitung1.example/artikel/a0', 'Teaser 0: Ä-Umlaute und ß.', 'Autorin 0 Müller', 'Politik 0', '7352436197dc41788666861048efaa4656a1a005f8a448d09561e86c90fc0eec', 'd1_paper1'),
+      (CAST(12 AS BIGINT), 'https://h1-zeitung1.example/artikel/a3', 'Beschreibung 3 mit Ö.', 'Redaktion 3', 'Politik 3', 'ac239a9cbfc545a22316cd6b7f9fe259450ff7f11037ced94da1ec6e50c10a96', 'd1_paper1'),
+      (CAST(13 AS BIGINT), 'https://h1-zeitung1.example/artikel/a1', 'Beschreibung 1 mit Ö.', 'Redaktion 1', 'Kultur 1', '1c3529c76adb5433ccfe9680e3cba7c039e8c092da0b506334ed37bf06239378', 'd1_paper1'),
+      (CAST(14 AS BIGINT), 'https://h1-zeitung1.example/artikel/a4', 'Teaser 4: Ä-Umlaute und ß.', 'Autorin 4 Müller', 'Kultur 0', '3a8c07d29f5747540026c42ac6e2c922f60a5008579f76572bfade8be7060998', 'd1_paper1'),
+      (CAST(15 AS BIGINT), 'https://h1-zeitung1.example/artikel/a2', 'Teaser 2: Ä-Umlaute und ß.', 'Autorin 2 Müller', 'Sport 2', '8e5ecd21bffb72f2c904788518b5213d0db71156341fba99a4d4059ab34f89a6', 'd1_paper1'),
+      (CAST(16 AS BIGINT), 'https://h1-zeitung1.example/artikel/a5', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), 'bc46058ed1a3544af82d48b0b02de4b256b0ae46da55973f1207b0c9b03886a4', 'd1_paper1'),
+      (CAST(17 AS BIGINT), 'https://h1-zeitung1.example/dossier/h1-zeitung1', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), 'f8920ffc2e2f2928f4ef4a8fd679c6811f0dee5d1d8d2fdf5e8afc4dfc5c9222', 'd1_paper1'),
+      (CAST(18 AS BIGINT), 'https://h1-zeitung1.example/static/broken0', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), 'b9b777483b9eb5bfb45f8d6e4f4bca5d49f4a72b13e64613b5dcd8e5c654ec17', 'd1_paper1'),
+      (CAST(19 AS BIGINT), 'https://h1-zeitung1.example/files/report.pdf', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), 'b85761a559492ca545b38f419e8e68cb6b1cbccdc0a01928d1eaf22c08cb9e36', 'd1_paper1'),
+      (CAST(20 AS BIGINT), 'http://extern.example/von-h1-zeitung1', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), 'ed5eb7dcdbe9fec83cb6404a223415ffab3ee49c2d98af0c80eba8b08192e1bc', 'd1_paper1')
+    ) AS v(_id, url, teaser, autor, category, content_hash, domain)
+    """,
 )
 def crawl_fixture_e2e(spark, sf_dir):
     import tempfile

@@ -460,3 +460,34 @@ def test_phash_near_dup_suppressed_across_rounds(spark, tmp_path):
     assert "Wirklich neu" in after
     assert "Wieder da" not in after  # near-dup suppressed across runs
     assert len(after) == len(first) + 1
+
+
+def test_crawl_e2e_oracle_literals_current(fixture_data):
+    """Drift guard: the literal oracle inlined on crawl_fixture_e2e
+    (plans/queries.py) must equal the reference simulator's replay of the
+    same fixture — regenerate the VALUES block with this recipe whenever
+    fixtures or crawl ordering semantics change."""
+    import re
+
+    from german_newspaper_crawler_spark.plans.queries import REGISTRY
+
+    seeds, pages, blobs, truth = fixture_data
+    golden, _, _ = simulate_crawl(seeds, pages, parsed_ts=datetime(2026, 1, 2))
+
+    oracle = REGISTRY["crawl_fixture_e2e"].oracle
+    rows = re.findall(r"\(CAST\((\d+) AS BIGINT\), (.*?)\)(?:,\n|\n)", oracle)
+    assert len(rows) == len(golden)
+
+    def parse(cells: str) -> list[str | None]:
+        out = []
+        for m in re.finditer(r"'((?:[^']|'')*)'|CAST\(NULL AS VARCHAR\)", cells):
+            out.append(None if m.group(1) is None else m.group(1).replace("''", "'"))
+        return out
+
+    for (oid, cells), g in zip(rows, golden):
+        assert int(oid) == g["_id"]
+        vals = parse(cells)
+        assert vals == [
+            g["url"], g["teaser"], g["autor"], g["category"],
+            g["content_hash"], g["domain"],
+        ], (g["_id"], vals)
