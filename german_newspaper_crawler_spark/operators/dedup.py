@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import weakref
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from german_newspaper_crawler_spark.functions.hashing import hash64
@@ -557,6 +557,91 @@ def containment_pairs(
     )
     out = a_in_b.unionByName(b_in_a).where(F.col("containment") >= threshold)
     return out if cached_sh is None else _release_cache_with(out, cached_sh)
+
+
+def remove_repeated_spans(
+    df: DataFrame, id_col: str, text_col: str, k: int = 10
+) -> DataFrame:
+    """Exact substring dedup (Lee et al. 2022, arXiv:2107.06499,
+    "Deduplicating Training Data Makes Language Models Better" — ExactSubstr):
+    every k-token span that occurs more than once corpus-wide is removed
+    from all but its first occurrence (first = min (doc, pos), the repo's
+    keeper convention); the first-occurrence doc keeps its tokens. Tokens
+    covered by ANY duplicate span are dropped; the doc is rebuilt from the
+    surviving tokens. No reference analog (nearest: the sha256 whole-doc
+    skip, SURVEY §1.4).
+
+    Scale shape (no reference to the paper's suffix array — that is a
+    single-machine construction):
+
+    * span occurrences: one posexplode of per-doc k-gram hashes (multi-arg
+      xxhash64 inside a transform — no intermediate strings),
+    * first occurrence per hash: partial-aggregatable
+      ``groupBy(hash).agg(min(struct(doc, pos)), count)`` — never a window
+      over the hash (a mega-boilerplate span would serialize),
+    * coverage: each duplicate occurrence contributes interval
+      [pos, pos+k) as two boundary events (+1 at pos, −1 at pos+k); a
+      DOC-LOCAL running sum over token positions marks covered tokens —
+      O(doc length) per doc, never the k-fold explode of every duplicate
+      window,
+    * rebuild: doc-local sort + concat of surviving tokens.
+
+    Output: (id, clean_text, n_kept, n_total) — one row per input doc.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    docs = df.select(F.col(id_col).alias("__d"), toks.alias("tk"))
+    args = ", ".join(f"element_at(tk, i + {j})" for j in range(k))
+    occ = docs.where(F.size("tk") >= k).select(
+        "__d",
+        F.posexplode(
+            F.expr(f"transform(sequence(1, size(tk) - {k - 1}), i -> xxhash64({args}))")
+        ).alias("pos", "h"),
+    )
+    winners = occ.groupBy("h").agg(
+        F.min(F.struct("__d", "pos")).alias("w"), F.count("*").alias("n_occ")
+    )
+    dup = (
+        occ.join(winners.where(F.col("n_occ") > 1), "h")
+        .where((F.col("__d") != F.col("w.__d")) | (F.col("pos") != F.col("w.pos")))
+        .select("__d", "pos")
+    )
+    events = dup.select("__d", F.col("pos").alias("j"), F.lit(1).alias("delta")).unionByName(
+        dup.select("__d", (F.col("pos") + k).alias("j"), F.lit(-1).alias("delta"))
+    )
+    # net delta per boundary, then a doc-local running sum over token index:
+    # token j is covered iff the cumulative interval count at j is > 0
+    net = events.groupBy("__d", "j").agg(F.sum("delta").alias("nd"))
+    tokens = docs.select(
+        "__d", F.size("tk").alias("n_total"), F.posexplode("tk").alias("j", "tok")
+    )
+    w = Window.partitionBy("__d").orderBy("j")
+    cov = (
+        tokens.join(net, ["__d", "j"], "left")
+        .withColumn("cum", F.sum(F.coalesce("nd", F.lit(0))).over(w))
+    )
+    rebuilt = (
+        cov.where(F.col("cum") <= 0)
+        .groupBy("__d", "n_total")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.expr("transform(sort_array(collect_list(struct(j, tok))), x -> x.tok)"),
+            ).alias("clean_text"),
+            F.count("*").cast("long").alias("n_kept"),
+        )
+    )
+    return (
+        docs.select("__d", F.size("tk").cast("long").alias("n_total"))
+        .join(
+            rebuilt.select("__d", "clean_text", "n_kept"), "__d", "left"
+        )
+        .select(
+            F.col("__d").alias(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            "n_total",
+        )
+    )
 
 
 def paragraph_dedup(

@@ -18,7 +18,9 @@ from german_newspaper_crawler_spark.parse.minidom import Node, parse_html
 
 
 def _cls_token(n: Node, token: str) -> bool:
-    c = n.attrs.get("class")
+    # n.get, not n.attrs.get — the ENode.attrs property builds a fresh dict
+    # per access, and this runs ~10x per document in the hot loops
+    c = n.get("class")
     return bool(c) and token in c.split()
 
 
@@ -63,12 +65,36 @@ def extract_anchors(html: str) -> list[tuple[str, str, int, int]]:
                 out.append((href, _text(a), rank, a.pos))
     if not out:
         for a in all_a:
-            if "href" in a.attrs:
-                out.append((a.attrs["href"], _text(a), 6, a.pos))
+            href = a.get("href")  # attr probe, not the attrs dict build
+            if href is not None:
+                out.append((href, _text(a), 6, a.pos))
     return out
 
 
 # --- metadata (taz.py:19-141) ----------------------------------------------
+
+_UNSET = object()
+
+
+def _meta_fallbacks(root: Node):
+    """ONE pass over <meta> tags collecting the content of the FIRST element
+    matching each fallback key — identical to four separate ``find`` calls
+    (each returns the first match in document order and reads ITS content,
+    present or not) but one C-filtered document scan instead of four.
+    Returns sentinel-marked slots: ``_UNSET`` = no such element existed."""
+    pub_prop = pubdate = author = desc = _UNSET
+    for m in root.find_all("meta"):
+        name = m.get("name")
+        if pub_prop is _UNSET and m.get("property") == "article:published_time":
+            pub_prop = m.get("content")
+        if pubdate is _UNSET and name == "pubdate":
+            pubdate = m.get("content")
+        if author is _UNSET and name == "author":
+            author = m.get("content")
+        if desc is _UNSET and name == "description":
+            desc = m.get("content")
+    return pub_prop, pubdate, author, desc
+
 
 def extract_metadata(root: Node) -> tuple[str | None, str | None, str | None, str | None]:
     """(published_iso, author, category, teaser) with every fallback chain
@@ -80,12 +106,6 @@ def extract_metadata(root: Node) -> tuple[str | None, str | None, str | None, st
         dt = (time_tag.get("datetime") or "").strip()
         if dt:
             published_iso = dt
-    if not published_iso:
-        meta_time = root.find("meta", attrs={"property": "article:published_time"}) or root.find(
-            "meta", attrs={"name": "pubdate"}
-        )
-        if meta_time and meta_time.get("content"):
-            published_iso = meta_time.get("content").strip()
 
     wrapper = root.find("div", class_fragment="author-name-wrapper")
     if wrapper:
@@ -96,10 +116,6 @@ def extract_metadata(root: Node) -> tuple[str | None, str | None, str | None, st
                 txt = span.get_text(" ", strip=True)
                 if txt:
                     author = _ws(txt)
-    if not author:
-        meta_author = root.find("meta", attrs={"name": "author"})
-        if meta_author and meta_author.get("content"):
-            author = meta_author.get("content").strip()
 
     marker = root.find(("span", "div"), class_fragment="typo-r-topline-detail")
     candidate = None
@@ -129,10 +145,21 @@ def extract_metadata(root: Node) -> tuple[str | None, str | None, str | None, st
         t = p_tag.get_text(" ", strip=True)
         if t:
             teaser = _ws(t)
-    if not teaser:
-        meta_desc = root.find("meta", attrs={"name": "description"})
-        if meta_desc and meta_desc.get("content"):
-            teaser = meta_desc.get("content").strip()
+
+    if not published_iso or not author or not teaser:
+        pub_prop, pubdate, m_author, m_desc = _meta_fallbacks(root)
+        if not published_iso:
+            # reference: find(property=...) or find(name=pubdate) — an
+            # existing property-element wins even with empty content
+            content = pub_prop if pub_prop is not _UNSET else (
+                pubdate if pubdate is not _UNSET else None
+            )
+            if content:
+                published_iso = content.strip()
+        if not author and m_author is not _UNSET and m_author:
+            author = m_author.strip()
+        if not teaser and m_desc is not _UNSET and m_desc:
+            teaser = m_desc.strip()
 
     return published_iso, author, category, teaser
 

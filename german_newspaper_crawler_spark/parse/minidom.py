@@ -208,25 +208,38 @@ _AMP_RE = _re.compile(r"&(?!(?:[a-zA-Z]+|#[0-9]+|#x[0-9a-fA-F]+);)")
 
 
 class EDoc:
-    """Shared per-document state for the lazy ElementTree view: the flat
-    pre-order element list (C-built via ``Element.iter``), lowered tags, and
-    lazily-built position / parent maps. No per-node Python object is created
-    at parse time — ``ENode`` wrappers materialize only for query HITS, so a
-    2000-node page pays ~zero conversion cost (the eager ``_et_to_node``
-    recursion this replaces was ~30% of the whole parse)."""
+    """Shared per-document state for the lazy ElementTree view with
+    lazily-built position / parent maps. No per-node Python object is
+    created at parse time — ``ENode`` wrappers materialize only for query
+    HITS, so a 2000-node page pays ~zero conversion cost (the eager
+    ``_et_to_node`` recursion this replaces was ~30% of the whole parse).
+    The flat element list and the lowercase-tags flag are ALSO lazy: a
+    metadata/body parse never touches ``pos``, so most documents allocate
+    no per-node lists at all (per-doc allocation pressure is what caps
+    multi-core scaling on one box)."""
 
-    __slots__ = ("root_elem", "elems", "tags", "all_lower", "_pos", "_parent")
+    __slots__ = ("root_elem", "_elems", "all_lower", "_pos", "_parent")
 
     def __init__(self, et_root):
         self.root_elem = et_root
-        elems = list(et_root.iter())
-        elems.pop(0)  # drop the synthetic <__root__> wrapper
-        self.elems = elems
-        raw = [e.tag for e in elems]
-        self.tags = [t.lower() for t in raw]
-        self.all_lower = raw == self.tags
+        self._elems = None
+        # one allocation-free C-iter walk: str.islower() equals
+        # `t == t.lower()` for any tag containing a letter (always, for
+        # HTML) and builds no list/string; a plain attribute because every
+        # find/find_all reads it (~27x per document)
+        it = et_root.iter()
+        next(it)  # skip the synthetic <__root__> wrapper
+        self.all_lower = all(e.tag.islower() for e in it)
         self._pos = None
         self._parent = None
+
+    @property
+    def elems(self) -> list:
+        if self._elems is None:
+            elems = list(self.root_elem.iter())
+            elems.pop(0)  # drop the synthetic <__root__> wrapper
+            self._elems = elems
+        return self._elems
 
     def pos_of(self, elem) -> int:
         if self._pos is None:
@@ -410,10 +423,18 @@ def parse_html(html: str) -> Node | ENode:
     try:
         from xml.etree import ElementTree as ET
 
-        prepared = _DOCTYPE_RE.sub("", html)
+        # each no-op .sub returns the ORIGINAL string (no copy); the cheap
+        # substring guard skips the doctype regex scan on doctype-less docs
+        prepared = _DOCTYPE_RE.sub("", html) if "<!" in html else html
         prepared = _VOID_RE.sub(r"<\1\2/>", prepared)
         prepared = _AMP_RE.sub("&amp;", prepared)  # bare & → entity
-        et_root = ET.fromstring(f"<__root__>{prepared}</__root__>")
+        # feed the wrapper tags separately — fromstring on an f-string
+        # would copy the whole document one more time
+        parser = ET.XMLParser()
+        parser.feed("<__root__>")
+        parser.feed(prepared)
+        parser.feed("</__root__>")
+        et_root = parser.close()
     except Exception:
         return parse_html_slow(html)
     return ENode(et_root, EDoc(et_root))

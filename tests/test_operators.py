@@ -369,3 +369,34 @@ def test_phash_suppress_default_bands_catch_boundary_radius(spark):
         ).collect()
     }
     assert 1 in kept_4x15  # the documented probabilistic miss at 4 bands
+
+
+def test_remove_repeated_spans_exact_substring_dedup(spark):
+    """ExactSubstr semantics (Lee et al. 2022): a k-gram repeated across
+    docs is removed from every occurrence but the first (doc, pos); the
+    keeper doc is untouched; unique text survives; interval overlap is
+    handled by the boundary-event running sum."""
+    from german_newspaper_crawler_spark.operators.dedup import (
+        remove_repeated_spans,
+    )
+
+    shared = "a b c d"  # with k=4: exactly one shared span per repeat site
+    rows = [
+        (1, f"{shared} x1 y1 z1"),          # first occurrence — untouched
+        (2, f"p2 {shared} q2 r2"),          # interior repeat — span dropped
+        (3, f"{shared} {shared}"),           # overlapping repeats in one doc
+        (4, "u4 v4 w4"),                     # shorter than k — untouched
+        (5, "unique five token doc here"),  # no repeats — untouched
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_kept"], r["n_total"])
+        for r in remove_repeated_spans(df, "doc_id", "text", k=4).collect()
+    }
+    assert got[1] == ("a b c d x1 y1 z1", 7, 7)
+    assert got[2] == ("p2 q2 r2", 3, 7)
+    # doc 3: spans at pos 0..4 all duplicated (vs doc 1 and internally);
+    # every token is covered by some duplicate interval
+    assert got[3] == ("", 0, 8)
+    assert got[4] == ("u4 v4 w4", 3, 3)
+    assert got[5] == ("unique five token doc here", 5, 5)
