@@ -76,10 +76,12 @@ NOTES = {
         "(PushedFilters), AQE picks broadcast for the dimension side."
     ),
     "curation_pipeline": (
-        "End-to-end curation: quality gate → exact-sig window dedup → "
-        "prefix-filtered Jaccard edges → iterative min-label components "
-        "(localCheckpoint per round) → keepers aggregate. Composes the "
-        "capped operators; inherits their bounds."
+        "End-to-end curation: quality gate → exact-sig window dedup "
+        "(persisted — feeds both the shingle derivation and the keeper "
+        "join) → df-capped Jaccard edges (prefix filter OFF here: after "
+        "exact dedup the candidate density is too low to amortize the "
+        "PPJoin posting sort, measured +0.75 s) → iterative min-label "
+        "components (localCheckpoint per round) → keepers aggregate."
     ),
 }
 

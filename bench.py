@@ -72,10 +72,15 @@ def synth_fetcher(url: str):
     return 200, html, None
 
 
-def crawl_stage_bench(spark, n_urls: int, n_partitions: int) -> dict:
+def crawl_stage_bench(spark, n_urls: int, n_partitions: int, reps: int = 1) -> dict:
     """One frontier round over n_urls article urls + the discovered images:
     pop → fetch → parse → identity → anti-join seen → enrich. Returns wall
-    seconds + throughput + a determinism hash of the output."""
+    seconds + throughput + a determinism hash of the output.
+
+    ``reps``: timed repetitions per leg, min wall reported — the headline
+    bench uses 2 (the host throttles guest-invisibly mid-run; min is the
+    standard noise-robust estimator), the scaling protocol keeps 1 so each
+    interleaved (N, 4N) pair spans the shortest possible drift window."""
     from pyspark.sql import functions as F
 
     from german_newspaper_crawler_spark import schemas
@@ -153,9 +158,15 @@ def crawl_stage_bench(spark, n_urls: int, n_partitions: int) -> dict:
     )
     run_pipeline(warm_frontier)
 
-    t0 = time.monotonic()
-    agg = run_pipeline(frontier)
-    urls_wall = time.monotonic() - t0
+    urls_wall, agg = None, None
+    for _ in range(reps):
+        t0 = time.monotonic()
+        rep_agg = run_pipeline(frontier)
+        w = time.monotonic() - t0
+        if agg is not None:
+            assert int(rep_agg["vhash"]) == int(agg["vhash"]), "nondeterministic reps"
+        if urls_wall is None or w < urls_wall:
+            urls_wall, agg = w, rep_agg
 
     # image leg: decode+phash the discovered figure urls.
     # NOTE: built from range() directly — .limit() would inject a
@@ -191,9 +202,15 @@ def crawl_stage_bench(spark, n_urls: int, n_partitions: int) -> dict:
             F.col("seq") % F.lit(max(n_urls // (8 * n_partitions), 1)) == 0
         )
     )
-    t1 = time.monotonic()
-    img_agg = run_images(img_frontier)
-    imgs_wall = time.monotonic() - t1
+    imgs_wall, img_agg = None, None
+    for _ in range(reps):
+        t1 = time.monotonic()
+        rep_img = run_images(img_frontier)
+        w = time.monotonic() - t1
+        if img_agg is not None:
+            assert int(rep_img["vhash"]) == int(img_agg["vhash"]), "nondeterministic reps"
+        if imgs_wall is None or w < imgs_wall:
+            imgs_wall, img_agg = w, rep_img
 
     return {
         "n_urls": int(agg["n"]), "urls_wall_sec": round(urls_wall, 2),
@@ -211,6 +228,9 @@ def main():
     ap.add_argument("--n-partitions", type=int, default=None)
     ap.add_argument("--n-urls", type=int, default=64_000)
     ap.add_argument("--cpus", type=int, default=None)
+    # reps for the standalone --crawl-stage mode; the scaling protocol keeps
+    # 1 (shortest drift window per interleaved pair)
+    ap.add_argument("--reps", type=int, default=1)
     args = ap.parse_args()
 
     cpus = args.cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -262,7 +282,10 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
 
     if args.crawl_stage:
-        res = crawl_stage_bench(spark, args.n_urls, n_partitions=args.n_partitions or max(cpus, 16))
+        res = crawl_stage_bench(
+            spark, args.n_urls,
+            n_partitions=args.n_partitions or max(cpus, 16), reps=args.reps,
+        )
         print(json.dumps({"mode": "crawl-stage", "cpus": cpus,
                           "calib_1core_mops": calib_mops, **res}))
         spark.stop()
@@ -304,7 +327,7 @@ def main():
     # (before the battery fragments the old gen with cached blocks) keeps
     # it comparable to the standalone --crawl-stage runs the scaling
     # evidence uses (measured 2x inflation when run last)
-    crawl = crawl_stage_bench(spark, args.n_urls, n_partitions=max(cpus, 16))
+    crawl = crawl_stage_bench(spark, args.n_urls, n_partitions=max(cpus, 16), reps=2)
     # the stage's measured walls (urls + images), NOT wall-clock around the
     # call — the identical-plan warmups inside crawl_stage_bench are
     # measurement overhead (steady-state policy), not system cost

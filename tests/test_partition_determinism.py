@@ -42,6 +42,9 @@ RISKY = [
     # r3: corpus-wide paragraph dedup — min(struct) winner must not depend
     # on partitioning
     "text_paragraph_dedup",
+    # r4: exact substring dedup — min(struct) winners + doc-local running
+    # sum + sort_array(collect_list) rebuild must not depend on partitioning
+    "text_substring_dedup",
 ]
 
 
