@@ -208,3 +208,87 @@ def enrich_stage(
             yield out
 
     return df.mapInPandas(run, schema=out_schema)
+
+
+def hashed_linear_classifier(
+    df,
+    id_col: str,
+    text_col: str,
+    weights,
+    n_buckets: int = 1024,
+    bias: float = 0.1,
+):
+    """fastText-style linear quality classifier INFERENCE (Joulin et al.
+    2016, arXiv:1607.01759; the CCNet/DCLM quality-filter shape): bag of
+    word uni+bigrams → feature hashing into ``n_buckets`` → mean bucket
+    weight + bias → sigmoid. No reference analog (nearest: the token-count
+    threshold gate A6).
+
+    ``weights`` is a DataFrame (bucket int, weight_milli bigint) — in
+    deployment the trained model's quantized weight table; it is tiny and
+    BROADCASTs to the feature join. Weights are INTEGER millis so the
+    per-doc sum is exact (bigint) and the score is a pure function of the
+    bag — bit-identical across engines and partitionings; the sigmoid is
+    applied to sum/(1000*count)+bias and rounded 6dp, the keep flag reads
+    the ROUNDED score (repo convention).
+
+    Scale shape: one explode (∝ corpus tokens) → broadcast join on bucket →
+    partial-aggregatable per-doc sum/count. Output: (id, score, keep).
+    """
+    from pyspark.sql import functions as F
+
+    from german_newspaper_crawler_spark.functions.hashing import hash64
+
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.select(F.col(id_col).alias("id"), toks.alias("tk"))
+    grams = base.select(
+        "id",
+        F.explode(
+            F.concat(
+                F.col("tk"),
+                # slice(tk, 1, 0) = typed-empty array<string> for 1-token
+                # docs (bare array() would type as array<void>)
+                F.expr(
+                    "case when size(tk) >= 2 then"
+                    " transform(sequence(1, size(tk) - 1),"
+                    " i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))"
+                    " else slice(tk, 1, 0) end"
+                ),
+            )
+        ).alias("gram"),
+    ).where(F.col("gram") != "")
+    feats = grams.select("id", F.pmod(hash64("gram"), F.lit(n_buckets)).alias("bucket"))
+    scored = (
+        feats.join(F.broadcast(weights), "bucket")
+        .groupBy("id")
+        .agg(
+            F.sum("weight_milli").cast("long").alias("s"),
+            F.count("*").cast("long").alias("n"),
+        )
+    )
+    score = F.round(
+        F.expr(f"1d / (1d + exp(-(s / (1000d * n) + {bias}d)))"), 6
+    )
+    return scored.select(
+        F.col("id").alias(id_col),
+        score.alias("score"),
+        (score >= F.lit(0.5)).alias("keep"),
+    )
+
+
+def synthetic_weight_table(spark, n_buckets: int = 1024):
+    """Deterministic stand-in for a trained weight table: weight_milli =
+    hash64('w#'||bucket) % 2001 - 1000 ∈ [-1000, 1000] — reproducible in
+    DuckDB through the shared hash64, so classifier inference has an exact
+    oracle."""
+    from pyspark.sql import functions as F
+
+    from german_newspaper_crawler_spark.functions.hashing import hash64
+
+    return spark.range(n_buckets).select(
+        F.col("id").cast("int").alias("bucket"),
+        (
+            F.pmod(hash64(F.concat(F.lit("w#"), F.col("id").cast("string"))), F.lit(2001))
+            - 1000
+        ).cast("long").alias("weight_milli"),
+    )

@@ -306,6 +306,60 @@ def semdedup(
     return assigned.groupBy("cell").applyInPandas(dedup_cell, out_schema)
 
 
+def label_centroid_coherence(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Embedding-coherence outlier filter (the CLIP-score-style curation
+    gate, cf. DataComp/LAION filtering; no reference analog): each vector
+    is scored by cosine against the CENTROID of its label group, and rows
+    whose rounded cosine falls below ``threshold`` are flagged as
+    outliers — mislabeled / off-topic / noisy rows that would pollute a
+    training mix.
+
+    Scale shape: centroids via one partial-aggregatable
+    ``groupBy(label, dim).avg`` over the posexploded vectors (shuffle keys
+    ∝ labels × dims, independent of corpus size), folded back into one
+    array per label (labels are few — the table BROADCASTs); the per-row
+    cosine is then a single sequential zip_with fold per vector —
+    corpus-linear, no pairwise anything. Centroid components round to 6dp
+    BEFORE the cosine (cross-engine float-order guard), cosine rounds to
+    6dp before the threshold (repo convention).
+
+    Output: (id, label, cos_centroid, is_outlier).
+    """
+    e = df.select(
+        F.col(id_col).alias("id"),
+        F.col(label_col).alias("label"),
+        _as_double(vec_col).alias("v"),
+    )
+    dims = e.select("label", F.posexplode("v").alias("d", "x"))
+    cent = (
+        dims.groupBy("label", "d")
+        .agg(F.round(F.avg("x"), 6).alias("c"))
+        .groupBy("label")
+        .agg(
+            F.expr(
+                "transform(sort_array(collect_list(struct(d, c))), p -> p.c)"
+            ).alias("cvec")
+        )
+    )
+    # the cosine folds SEQUENTIALLY (aggregate over zip_with) — the same
+    # IEEE operation order as DuckDB's list_dot_product, so the oracle
+    # matches bit-for-bit, not just to rounding
+    joined = e.join(F.broadcast(cent), "label")
+    cos = _cosine("v", "cvec")
+    return joined.select(
+        F.col("id").alias(id_col),
+        F.col("label").alias(label_col),
+        cos.alias("cos_centroid"),
+        (cos < threshold).alias("is_outlier"),
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,

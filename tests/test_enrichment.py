@@ -297,3 +297,44 @@ def test_crawl_loop_runs_enrich_stage_tagger(spark, tmp_path):
         }
     assert results["stage"] == results["sql"]
     assert any(len(v) > 0 for v in results["sql"].values())
+
+
+def test_hashed_linear_classifier_exact_score(spark):
+    """Inference is a pure function of the uni+bigram bag: the score equals
+    the hand-computed sigmoid of the mean bucket weight (+bias); 1-token
+    docs contribute no fake bigram; empty docs drop."""
+    import hashlib
+    import math
+
+    from german_newspaper_crawler_spark.operators.enrichment import (
+        hashed_linear_classifier, synthetic_weight_table,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "solo"), (3, "")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["score"], r["keep"])
+        for r in hashed_linear_classifier(
+            df, "doc_id", "text", synthetic_weight_table(spark, 1024)
+        ).collect()
+    }
+
+    def h64(s: str) -> int:  # the shared hash: first 15 sha256 hex chars
+        return int(hashlib.sha256(s.encode()).hexdigest()[:15], 16)
+
+    def w(gram):
+        return h64(f"w#{h64(gram) % 1024}") % 2001 - 1000
+
+    def expected(grams):
+        s = sum(w(g) for g in grams)
+        return round(1 / (1 + math.exp(-(s / (1000.0 * len(grams)) + 0.1))), 6)
+
+    assert got[1][0] == expected(
+        ["alpha", "beta", "gamma", "alpha beta", "beta gamma"]
+    )
+    assert got[2][0] == expected(["solo"])  # no fake self-bigram
+    assert 3 not in got  # featureless doc drops (quarantine at scale)
+    for score, keep in got.values():
+        assert keep == (score >= 0.5)

@@ -45,6 +45,10 @@ RISKY = [
     # r4: exact substring dedup — min(struct) winners + doc-local running
     # sum + sort_array(collect_list) rebuild must not depend on partitioning
     "text_substring_dedup",
+    # r4: centroid avg (float agg order) + classifier (bag sums — exact
+    # bigints, gated anyway)
+    "embed_label_coherence_outliers",
+    "text_quality_classifier_hashed",
 ]
 
 

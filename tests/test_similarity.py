@@ -147,3 +147,30 @@ def test_semdedup_drops_planted_semantic_dups(spark):
                 for j in ids[:pos]
             )
             assert out[i]["is_kept"] == (not dup), (i, cell)
+
+
+def test_label_centroid_coherence_flags_outliers(spark):
+    """A vector aligned with its label's centroid scores ~1; a vector
+    pointing away from its own group's centroid is flagged."""
+    from german_newspaper_crawler_spark.operators.similarity import (
+        label_centroid_coherence,
+    )
+
+    rows = [
+        (1, 0, [1.0, 0.0, 0.0]),
+        (2, 0, [0.9, 0.1, 0.0]),
+        (3, 0, [-1.0, 0.0, 0.0]),  # anti-aligned with label 0's centroid
+        (4, 1, [0.0, 1.0, 0.0]),
+        (5, 1, [0.0, 0.95, 0.05]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<double>")
+    got = {
+        r["vec_id"]: (r["cos_centroid"], r["is_outlier"])
+        for r in label_centroid_coherence(
+            df, "vec_id", "embedding", "label", threshold=0.5
+        ).collect()
+    }
+    assert len(got) == 5
+    assert not got[1][1] and not got[2][1] and not got[4][1] and not got[5][1]
+    assert got[3][1] and got[3][0] < 0  # anti-aligned → negative cosine
+    assert got[1][0] > 0.8 and got[4][0] > 0.9
