@@ -1431,8 +1431,79 @@ def ann_lsh_topk(spark, sf_dir):
     "g5_image_decode_phash",
     "G5/G6 image decode + pHash over binary image rows (in-repo PNG codec + "
     "numpy DCT pHash inside mapInPandas). PSNR/caption/dup invariants in "
-    "tests/test_codec_phash.py and tests/test_crawl_parity.py.",
-    oracle=None,
+    "tests/test_codec_phash.py and tests/test_crawl_parity.py. Oracle = "
+    "precomputed literals from an INDEPENDENT python-side recomputation "
+    "(make_image → encode → decode → phash64 directly, no Spark plumbing) "
+    "over the deterministic fixture; drift guard + regeneration recipe: "
+    "tests/test_multimodal.py::test_g5_and_video_oracle_literals_current.",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('https://img.example/i-0.png', CAST(32 AS INT), CAST(32 AS INT), 'png', 'Bild 0', CAST(-7458882112991752812 AS BIGINT)),
+      ('https://img.example/i-1.png', CAST(32 AS INT), CAST(32 AS INT), 'jpeg', 'Bild 1', CAST(-1428948920714078549 AS BIGINT)),
+      ('https://img.example/i-2.png', CAST(32 AS INT), CAST(32 AS INT), 'png', 'Bild 2', CAST(-8289779788579793005 AS BIGINT)),
+      ('https://img.example/i-3.png', CAST(32 AS INT), CAST(32 AS INT), 'jpeg', 'Bild 3', CAST(-7565128685608358021 AS BIGINT)),
+      ('https://img.example/i-4.png', CAST(32 AS INT), CAST(32 AS INT), 'png', 'Bild 4', CAST(-1097258350039551014 AS BIGINT)),
+      ('https://img.example/i-5.png', CAST(32 AS INT), CAST(32 AS INT), 'jpeg', 'Bild 5', CAST(-3950298501955618363 AS BIGINT)),
+      ('https://img.example/i-6.png', CAST(32 AS INT), CAST(32 AS INT), 'png', 'Bild 6', CAST(-1832603296755011889 AS BIGINT)),
+      ('https://img.example/i-7.png', CAST(32 AS INT), CAST(32 AS INT), 'jpeg', 'Bild 7', CAST(-3167449469728513373 AS BIGINT)),
+      ('https://img.example/i-8.png', CAST(32 AS INT), CAST(32 AS INT), 'png', 'Bild 8', CAST(-1638778554167292601 AS BIGINT)),
+      ('https://img.example/i-9.png', CAST(32 AS INT), CAST(32 AS INT), 'jpeg', 'Bild 9', CAST(-3923612427317544502 AS BIGINT)),
+      ('https://img.example/i-10.png', CAST(32 AS INT), CAST(32 AS INT), 'png', 'Bild 10', CAST(-1921082344443541096 AS BIGINT)),
+      ('https://img.example/i-11.png', CAST(32 AS INT), CAST(32 AS INT), 'jpeg', 'Bild 11', CAST(-6352967094858589115 AS BIGINT)),
+      ('https://img.example/i-12.png', CAST(32 AS INT), CAST(32 AS INT), 'png', 'Bild 12', CAST(-8860534311257943091 AS BIGINT)),
+      ('https://img.example/i-13.png', CAST(32 AS INT), CAST(32 AS INT), 'jpeg', 'Bild 13', CAST(-2471182925891864864 AS BIGINT)),
+      ('https://img.example/i-14.png', CAST(32 AS INT), CAST(32 AS INT), 'png', 'Bild 14', CAST(-6657087802086313070 AS BIGINT)),
+      ('https://img.example/i-15.png', CAST(32 AS INT), CAST(32 AS INT), 'jpeg', 'Bild 15', CAST(-5705044243990872492 AS BIGINT)),
+      ('https://img.example/i-16.png', CAST(32 AS INT), CAST(32 AS INT), 'png', 'Bild 16', CAST(-9036475947702110700 AS BIGINT)),
+      ('https://img.example/i-17.png', CAST(32 AS INT), CAST(32 AS INT), 'jpeg', 'Bild 17', CAST(-2857413798913926541 AS BIGINT)),
+      ('https://img.example/i-18.png', CAST(32 AS INT), CAST(32 AS INT), 'png', 'Bild 18', CAST(-6919542473775673598 AS BIGINT)),
+      ('https://img.example/i-19.png', CAST(32 AS INT), CAST(32 AS INT), 'jpeg', 'Bild 19', CAST(-3340553123629685003 AS BIGINT)),
+      ('https://img.example/i-20.png', CAST(32 AS INT), CAST(32 AS INT), 'png', 'Bild 20', CAST(-5965436819111644555 AS BIGINT)),
+      ('https://img.example/i-21.png', CAST(32 AS INT), CAST(32 AS INT), 'jpeg', 'Bild 21', CAST(-4938025097742229425 AS BIGINT)),
+      ('https://img.example/i-22.png', CAST(32 AS INT), CAST(32 AS INT), 'png', 'Bild 22', CAST(-8550820506738361888 AS BIGINT)),
+      ('https://img.example/i-23.png', CAST(32 AS INT), CAST(32 AS INT), 'jpeg', 'Bild 23', CAST(-7706734635902439843 AS BIGINT)),
+      ('https://img.example/i-24.png', CAST(32 AS INT), CAST(32 AS INT), 'png', 'Bild 24', CAST(-8436946859685592871 AS BIGINT)),
+      ('https://img.example/i-25.png', CAST(32 AS INT), CAST(32 AS INT), 'jpeg', 'Bild 25', CAST(-2951728510345472934 AS BIGINT)),
+      ('https://img.example/i-26.png', CAST(32 AS INT), CAST(32 AS INT), 'png', 'Bild 26', CAST(-7224180252095583344 AS BIGINT)),
+      ('https://img.example/i-27.png', CAST(32 AS INT), CAST(32 AS INT), 'jpeg', 'Bild 27', CAST(-4718135837336116361 AS BIGINT)),
+      ('https://img.example/i-28.png', CAST(32 AS INT), CAST(32 AS INT), 'png', 'Bild 28', CAST(-7135473759817815920 AS BIGINT)),
+      ('https://img.example/i-29.png', CAST(32 AS INT), CAST(32 AS INT), 'jpeg', 'Bild 29', CAST(-2709240300004221103 AS BIGINT)),
+      ('https://img.example/i-30.png', CAST(32 AS INT), CAST(32 AS INT), 'png', 'Bild 30', CAST(-1776907696220929171 AS BIGINT)),
+      ('https://img.example/i-31.png', CAST(32 AS INT), CAST(32 AS INT), 'jpeg', 'Bild 31', CAST(-5008540761725482872 AS BIGINT)),
+      ('https://img.example/i-32.png', CAST(32 AS INT), CAST(32 AS INT), 'png', 'Bild 32', CAST(-169701361426911191 AS BIGINT)),
+      ('https://img.example/i-33.png', CAST(32 AS INT), CAST(32 AS INT), 'jpeg', 'Bild 33', CAST(-6694167820353996008 AS BIGINT)),
+      ('https://img.example/i-34.png', CAST(32 AS INT), CAST(32 AS INT), 'png', 'Bild 34', CAST(-8680350507279897120 AS BIGINT)),
+      ('https://img.example/i-35.png', CAST(32 AS INT), CAST(32 AS INT), 'jpeg', 'Bild 35', CAST(-1345471817659022411 AS BIGINT)),
+      ('https://img.example/i-36.png', CAST(32 AS INT), CAST(32 AS INT), 'png', 'Bild 36', CAST(-932078786069360674 AS BIGINT)),
+      ('https://img.example/i-37.png', CAST(32 AS INT), CAST(32 AS INT), 'jpeg', 'Bild 37', CAST(-546607613436175574 AS BIGINT)),
+      ('https://img.example/i-38.png', CAST(32 AS INT), CAST(32 AS INT), 'png', 'Bild 38', CAST(-3251820904344878839 AS BIGINT)),
+      ('https://img.example/i-39.png', CAST(32 AS INT), CAST(32 AS INT), 'jpeg', 'Bild 39', CAST(-4842167214060855056 AS BIGINT)),
+      ('https://img.example/i-40.png', CAST(32 AS INT), CAST(32 AS INT), 'png', 'Bild 40', CAST(-5298015791578558297 AS BIGINT)),
+      ('https://img.example/i-41.png', CAST(32 AS INT), CAST(32 AS INT), 'jpeg', 'Bild 41', CAST(-6500627279688681867 AS BIGINT)),
+      ('https://img.example/i-42.png', CAST(32 AS INT), CAST(32 AS INT), 'png', 'Bild 42', CAST(-2830149166159147554 AS BIGINT)),
+      ('https://img.example/i-43.png', CAST(32 AS INT), CAST(32 AS INT), 'jpeg', 'Bild 43', CAST(-7205256874174743578 AS BIGINT)),
+      ('https://img.example/i-44.png', CAST(32 AS INT), CAST(32 AS INT), 'png', 'Bild 44', CAST(-746419948589889717 AS BIGINT)),
+      ('https://img.example/i-45.png', CAST(32 AS INT), CAST(32 AS INT), 'jpeg', 'Bild 45', CAST(-4924591884861267484 AS BIGINT)),
+      ('https://img.example/i-46.png', CAST(32 AS INT), CAST(32 AS INT), 'png', 'Bild 46', CAST(-5431939387962585702 AS BIGINT)),
+      ('https://img.example/i-47.png', CAST(32 AS INT), CAST(32 AS INT), 'jpeg', 'Bild 47', CAST(-1659233301650152271 AS BIGINT)),
+      ('https://img.example/i-48.png', CAST(32 AS INT), CAST(32 AS INT), 'png', 'Bild 48', CAST(-4211285254201920822 AS BIGINT)),
+      ('https://img.example/i-49.png', CAST(32 AS INT), CAST(32 AS INT), 'jpeg', 'Bild 49', CAST(-8410724050690652512 AS BIGINT)),
+      ('https://img.example/i-50.png', CAST(32 AS INT), CAST(32 AS INT), 'png', 'Bild 50', CAST(-2278324789175723715 AS BIGINT)),
+      ('https://img.example/i-51.png', CAST(32 AS INT), CAST(32 AS INT), 'jpeg', 'Bild 51', CAST(-5108408030089957824 AS BIGINT)),
+      ('https://img.example/i-52.png', CAST(32 AS INT), CAST(32 AS INT), 'png', 'Bild 52', CAST(-8560985112283935565 AS BIGINT)),
+      ('https://img.example/i-53.png', CAST(32 AS INT), CAST(32 AS INT), 'jpeg', 'Bild 53', CAST(-6492499263280532524 AS BIGINT)),
+      ('https://img.example/i-54.png', CAST(32 AS INT), CAST(32 AS INT), 'png', 'Bild 54', CAST(-8921783111674370198 AS BIGINT)),
+      ('https://img.example/i-55.png', CAST(32 AS INT), CAST(32 AS INT), 'jpeg', 'Bild 55', CAST(-7993638797623134153 AS BIGINT)),
+      ('https://img.example/i-56.png', CAST(32 AS INT), CAST(32 AS INT), 'png', 'Bild 56', CAST(-581174671340151807 AS BIGINT)),
+      ('https://img.example/i-57.png', CAST(32 AS INT), CAST(32 AS INT), 'jpeg', 'Bild 57', CAST(-6702776697238960802 AS BIGINT)),
+      ('https://img.example/i-58.png', CAST(32 AS INT), CAST(32 AS INT), 'png', 'Bild 58', CAST(-8149004015370923662 AS BIGINT)),
+      ('https://img.example/i-59.png', CAST(32 AS INT), CAST(32 AS INT), 'jpeg', 'Bild 59', CAST(-6720439965487681898 AS BIGINT)),
+      ('https://img.example/i-60.png', CAST(32 AS INT), CAST(32 AS INT), 'png', 'Bild 60', CAST(-4483655580323091610 AS BIGINT)),
+      ('https://img.example/i-61.png', CAST(32 AS INT), CAST(32 AS INT), 'jpeg', 'Bild 61', CAST(-4057548911915279621 AS BIGINT)),
+      ('https://img.example/i-62.png', CAST(32 AS INT), CAST(32 AS INT), 'png', 'Bild 62', CAST(-2749286575856110939 AS BIGINT)),
+      ('https://img.example/i-63.png', CAST(32 AS INT), CAST(32 AS INT), 'jpeg', 'Bild 63', CAST(-3201789510579548631 AS BIGINT))
+    ) AS v(image_id, w, h, fmt, caption, phash)
+    """,
 )
 def g5_image_decode_phash(spark, sf_dir):
     from german_newspaper_crawler_spark.fixtures import make_image
@@ -1723,8 +1794,28 @@ def mm_audio_features(spark, sf_dir):
 @register(
     "mm_video_frame_sample",
     "Multimodal video frame sampling (1 video row → N frame rows with PNG + "
-    "pHash, feeding the image dedup path); codec boundary stubbed.",
-    oracle=None,
+    "pHash, feeding the image dedup path); container-format codec stubbed "
+    "(ffmpeg/PyAV in deployment) — the fixture format decode, frame "
+    "sampling and DCT pHash are real. Oracle = precomputed literals from an "
+    "independent python-side recomputation (encode_fake_video → "
+    "decode_video → phash64 per sampled frame); drift guard: "
+    "tests/test_multimodal.py::test_g5_and_video_oracle_literals_current.",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('vid-0', CAST(0 AS INT), CAST(-9032850452880114667 AS BIGINT)),
+      ('vid-0', CAST(2 AS INT), CAST(-6639973445320451978 AS BIGINT)),
+      ('vid-0', CAST(4 AS INT), CAST(-8080684159142341201 AS BIGINT)),
+      ('vid-1', CAST(0 AS INT), CAST(-8431755575673444695 AS BIGINT)),
+      ('vid-1', CAST(2 AS INT), CAST(-3734059543257640613 AS BIGINT)),
+      ('vid-1', CAST(4 AS INT), CAST(-8837651921745931201 AS BIGINT)),
+      ('vid-2', CAST(0 AS INT), CAST(-4827524094852740329 AS BIGINT)),
+      ('vid-2', CAST(2 AS INT), CAST(-8329093617163819312 AS BIGINT)),
+      ('vid-2', CAST(4 AS INT), CAST(-2990098128794823691 AS BIGINT)),
+      ('vid-3', CAST(0 AS INT), CAST(-2277520206995796360 AS BIGINT)),
+      ('vid-3', CAST(2 AS INT), CAST(-5961579347753601808 AS BIGINT)),
+      ('vid-3', CAST(4 AS INT), CAST(-2173662001597338938 AS BIGINT))
+    ) AS v(media_id, frame_idx, phash)
+    """,
 )
 def mm_video_frame_sample(spark, sf_dir):
     from german_newspaper_crawler_spark.operators.multimodal import sample_video_frames

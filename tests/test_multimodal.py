@@ -225,3 +225,49 @@ def test_image_stats_features(spark):
     # the downstream filter is a plain relational predicate
     kept = image_stats(df).where("std_lum > 5 AND entropy > 1").collect()
     assert [r["image_id"] for r in kept] == ["noisy"]
+
+
+def test_g5_and_video_oracle_literals_current():
+    """Drift guard for the two literal oracles pinned in round 4: the
+    g5_image_decode_phash and mm_video_frame_sample VALUES blocks must
+    equal an independent python-side recomputation over the deterministic
+    fixtures (no Spark plumbing — codec + phash called directly).
+    Regenerate the blocks with this recipe if fixtures or codec change."""
+    import re
+
+    from german_newspaper_crawler_spark.functions.codec import (
+        decode_image, encode_image,
+    )
+    from german_newspaper_crawler_spark.functions.phash import phash64
+    from german_newspaper_crawler_spark.plans.queries import REGISTRY
+
+    g5_expect = []
+    for i in range(64):
+        fmt = "png" if i % 2 == 0 else "jpeg"
+        rgb = decode_image(encode_image(make_image(i, size=32), fmt))
+        g5_expect.append(
+            (f"https://img.example/i-{i}.png", 32, 32, fmt, f"Bild {i}",
+             phash64(rgb))
+        )
+    lits = re.findall(
+        r"\('(\S+)', CAST\((\d+) AS INT\), CAST\((\d+) AS INT\), '(\w+)', "
+        r"'([^']+)', CAST\((-?\d+) AS BIGINT\)\)",
+        REGISTRY["g5_image_decode_phash"].oracle,
+    )
+    got = [(u, int(w), int(h), f, c, int(p)) for u, w, h, f, c, p in lits]
+    assert got == g5_expect
+
+    mm_expect = []
+    for i in range(4):
+        frames = np.stack(
+            [make_image(500 + i * 10 + f, size=32) for f in range(6)]
+        )
+        dec = MM.decode_video(MM.encode_fake_video(frames))
+        for fi in range(0, len(dec), 2):
+            mm_expect.append((f"vid-{i}", fi, phash64(dec[fi])))
+    lits = re.findall(
+        r"\('(vid-\d)', CAST\((\d+) AS INT\), CAST\((-?\d+) AS BIGINT\)\)",
+        REGISTRY["mm_video_frame_sample"].oracle,
+    )
+    got = [(m, int(fi), int(p)) for m, fi, p in lits]
+    assert got == mm_expect
