@@ -392,3 +392,129 @@ def paragraph_dedup_batch(
         )
 
     return process
+
+
+def streaming_substring_dedup(
+    docs: DataFrame,
+    store,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    out_table: str = "clean_docs_substr",
+    seen_table: str = "seen_spans",
+):
+    """Continuously-running twin of
+    :func:`operators.dedup.remove_repeated_spans` (ExactSubstr, Lee et al.
+    2022): each microbatch drops every k-token span already seen in PRIOR
+    batches, applies the batch winner rule (min (id, pos) per span hash)
+    WITHIN the batch, removes covered tokens via the same boundary-event
+    running sum, and commits the batch's span hashes — first-arrival
+    occurrences survive across the stream's lifetime.
+
+    When arrival order matches id order the accumulated output EQUALS the
+    batch operator over the full corpus (the batch winner min(id, pos) IS
+    the first arrival) — asserted across restarts in tests/test_streaming.py.
+    Same ``foreachBatch`` + queryable-store design and ``added_batch``
+    replay fence as :func:`streaming_paragraph_dedup`.
+    """
+    process = substring_dedup_batch(store, id_col, text_col, k, out_table, seen_table)
+    return (
+        docs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )
+
+
+def substring_dedup_batch(
+    store,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    out_table: str = "clean_docs_substr",
+    seen_table: str = "seen_spans",
+):
+    """Per-microbatch callable behind :func:`streaming_substring_dedup` —
+    exposed for direct replay testing and non-streaming incremental runs."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        spark = batch_df.sparkSession
+        toks = F.split(F.trim(F.col(text_col)), r"\s+")
+        docs = batch_df.select(F.col(id_col).alias("__d"), toks.alias("tk"))
+        args = ", ".join(f"element_at(tk, i + {j})" for j in range(k))
+        occ = docs.where(F.size("tk") >= k).select(
+            "__d",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, size(tk) - {k - 1}),"
+                    f" i -> xxhash64({args}))"
+                )
+            ).alias("pos", "h"),
+        )
+        winners = occ.groupBy("h").agg(
+            F.min(F.struct("__d", "pos")).alias("w"), F.count("*").alias("n_occ")
+        )
+        dup = (
+            occ.join(winners.where(F.col("n_occ") > 1), "h")
+            .where((F.col("__d") != F.col("w.__d")) | (F.col("pos") != F.col("w.pos")))
+            .select("__d", "pos")
+        )
+        new_hashes = occ.select("h").distinct()
+        if store.exists(seen_table):
+            prior = (
+                store.read(spark, seen_table)
+                .where(F.col("added_batch") < F.lit(batch_id))
+                .select(F.col("__h").alias("h"))
+            )
+            dup = dup.unionByName(
+                occ.join(prior, "h").select("__d", "pos")
+            ).distinct()
+            # commit only UNSEEN hashes — re-merging a prior span would bump
+            # its added_batch past the fence and break replay idempotence
+            new_hashes = new_hashes.join(prior, "h", "left_anti")
+        events = dup.select(
+            "__d", F.col("pos").alias("j"), F.lit(1).alias("delta")
+        ).unionByName(
+            dup.select("__d", (F.col("pos") + k).alias("j"), F.lit(-1).alias("delta"))
+        )
+        net = events.groupBy("__d", "j").agg(F.sum("delta").alias("nd"))
+        tokens = docs.select("__d", F.posexplode("tk").alias("j", "tok"))
+        w = Window.partitionBy("__d").orderBy("j")
+        cov = tokens.join(net, ["__d", "j"], "left").withColumn(
+            "cum", F.sum(F.coalesce("nd", F.lit(0))).over(w)
+        )
+        rebuilt = (
+            cov.where(F.col("cum") <= 0)
+            .groupBy("__d")
+            .agg(
+                F.concat_ws(
+                    " ",
+                    F.expr(
+                        "transform(sort_array(collect_list(struct(j, tok))),"
+                        " x -> x.tok)"
+                    ),
+                ).alias("clean_text"),
+                F.count("*").cast("long").alias("n_kept"),
+            )
+        )
+        out = (
+            docs.select("__d", F.size("tk").cast("long").alias("n_total"))
+            .join(rebuilt, "__d", "left")
+            .select(
+                F.col("__d").alias(id_col),
+                F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+                F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+                "n_total",
+            )
+        )
+        store.merge(spark, out_table, out, keys=[id_col])
+        store.merge(
+            spark, seen_table,
+            new_hashes.select(F.col("h").alias("__h"))
+            .withColumn("added_batch", F.lit(batch_id).cast("long")),
+            keys=["__h"],
+        )
+
+    return process

@@ -306,3 +306,77 @@ def test_streaming_paragraph_dedup_matches_sequential_batches_and_restarts(
         for r in store.read(spark, "seen_paras").collect()
     }
     assert seen_after == seen_before
+
+
+def test_streaming_substring_dedup_matches_batch_and_replays(spark, tmp_path):
+    """foreachBatch ExactSubstr twin: with arrival order = id order, the
+    accumulated stream output EQUALS remove_repeated_spans over the full
+    corpus (the batch winner min(id, pos) IS the first arrival); restart
+    processes only new files against all prior span state; replaying a
+    committed batch id is bit-identical (added_batch fence)."""
+    from pyspark.sql.types import LongType
+
+    from german_newspaper_crawler_spark.operators.dedup import remove_repeated_spans
+    from german_newspaper_crawler_spark.sources.store import SnapshotStore
+    from german_newspaper_crawler_spark.streaming.incremental import (
+        streaming_substring_dedup, substring_dedup_batch,
+    )
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    shared = "a b c d"  # k=4: one shared span per repeat site
+    chunk1 = [(1, f"{shared} x1 y1 z1"), (2, f"p2 {shared} q2 r2")]
+    chunk2 = [(3, f"{shared} {shared}"), (4, f"u4 {shared} v4"), (5, "unique five token doc here")]
+
+    src, ckpt = str(tmp_path / "docs"), str(tmp_path / "ckpt")
+    store = SnapshotStore(str(tmp_path / "store"))
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+
+    def run():
+        stream = streaming_substring_dedup(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            store, ckpt, k=4,
+        )
+        stream.start().awaitTermination()
+
+    write_batch(chunk1)
+    run()
+    write_batch(chunk2)  # restart: only the new file processes
+    run()
+
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_kept"], r["n_total"])
+        for r in store.read(spark, "clean_docs_substr").collect()
+    }
+    expect = {
+        r["doc_id"]: (r["clean_text"], r["n_kept"], r["n_total"])
+        for r in remove_repeated_spans(
+            spark.createDataFrame(chunk1 + chunk2, schema), "doc_id", "text", k=4
+        ).collect()
+    }
+    assert got == expect
+    assert got[3] == ("", 0, 8)  # every token covered by duplicate spans
+    assert got[1][1] == 7  # first-arrival doc untouched
+
+    # replay fence: re-running the committed batch 1 (chunk2's file) must
+    # not suppress its own spans as "seen"
+    seen_before = {
+        (r["__h"], r["added_batch"])
+        for r in store.read(spark, "seen_spans").collect()
+    }
+    substring_dedup_batch(store, k=4)(spark.createDataFrame(chunk2, schema), 1)
+    got2 = {
+        r["doc_id"]: (r["clean_text"], r["n_kept"], r["n_total"])
+        for r in store.read(spark, "clean_docs_substr").collect()
+    }
+    assert got2 == expect
+    seen_after = {
+        (r["__h"], r["added_batch"])
+        for r in store.read(spark, "seen_spans").collect()
+    }
+    assert seen_after == seen_before
