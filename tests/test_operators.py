@@ -400,3 +400,31 @@ def test_remove_repeated_spans_exact_substring_dedup(spark):
     assert got[3] == ("", 0, 8)
     assert got[4] == ("u4 v4 w4", 3, 3)
     assert got[5] == ("unique five token doc here", 5, 5)
+
+
+def test_hll_distinct_accuracy_and_register_exactness(spark):
+    """The relational HLL sketch lands within ~3 sigma (5%) of the exact
+    distinct count at p=12, and its estimate is an exact function of the
+    register multiset (re-running on a reshuffled frame is bit-identical)."""
+    from pyspark.sql import functions as F
+
+    from german_newspaper_crawler_spark.operators.sketches import hll_distinct
+
+    df = spark.range(40_000).select(
+        (F.col("id") % 3).cast("string").alias("grp"),
+        # ~13333 distinct keys per group, with collisions across groups
+        (F.col("id") % 17_000).cast("string").alias("key"),
+    )
+    got = {
+        r["grp"]: (r["est_distinct"], r["exact_distinct"])
+        for r in hll_distinct(df, "key", "grp", p=12).collect()
+    }
+    assert len(got) == 3
+    for est, exact in got.values():
+        assert abs(est - exact) / exact < 0.05, (est, exact)
+
+    again = {
+        r["grp"]: (r["est_distinct"], r["exact_distinct"])
+        for r in hll_distinct(df.repartition(13), "key", "grp", p=12).collect()
+    }
+    assert again == got

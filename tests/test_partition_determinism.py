@@ -49,6 +49,8 @@ RISKY = [
     # bigints, gated anyway)
     "embed_label_coherence_outliers",
     "text_quality_classifier_hashed",
+    # r4: HLL sketch — integer register sum must be partition-independent
+    "sketch_hll_distinct_users",
 ]
 
 
