@@ -79,3 +79,68 @@ def hll_distinct(
         F.round(est, 4).alias("est_distinct"),
         "exact_distinct",
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Host-graph PageRank (Page et al. 1999) — the frontier-priority
+    signal a web-scale crawler feeds into its pop order (the reference's
+    priority is selector rank only, taz.py:188-206; at 10^10 URLs link
+    authority decides which hosts deserve fetch budget).
+
+    Fixed ``iterations`` of the classic power step over DataFrames:
+
+        pr(v) <- (1 - d)/N + d * (dangling_mass/N
+                 + sum(pr(u)/outdeg(u) for u -> v))
+
+    Each iteration is one join on src + one groupBy dst (shuffle ∝ edges),
+    plus a 1-row dangling-mass aggregate (broadcast scalar — whitelisted
+    like the char-bigram denominator). Ranks round to 6dp AFTER EVERY
+    iteration so the fixed-point prefix is identical in DuckDB's unrolled
+    oracle (floats stay engine-order-dependent past an iteration
+    otherwise). Deterministic: pure function of the edge multiset.
+
+    Output: (node, rank[6dp]) for every node appearing as src or dst.
+    """
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    n_nodes = nodes.count()  # one scalar — the driver-side N every PR needs
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    outdeg = e.groupBy("u").agg(F.count("*").alias("deg"))
+    ranks = nodes.withColumn("rank", F.round(F.lit(1.0 / n_nodes), 6))
+    for _ in range(iterations):
+        contrib = (
+            e.join(ranks.withColumnRenamed("node", "u"), "u")
+            .join(outdeg, "u")
+            .select(F.col("v").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        # dangling nodes (no out-edges) spread their rank uniformly
+        dangling = (
+            ranks.join(outdeg.withColumnRenamed("u", "node"), "node", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+        )
+        ranks = (
+            ranks.select("node")
+            .join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                F.round(
+                    F.lit((1 - damping) / n_nodes)
+                    + F.lit(damping)
+                    * (F.coalesce("inflow", F.lit(0.0)) + F.col("dm") / n_nodes),
+                    6,
+                ).alias("rank"),
+            )
+        )
+    return ranks.select("node", F.col("rank").alias("pagerank"))

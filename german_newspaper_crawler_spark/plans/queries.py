@@ -2665,6 +2665,66 @@ def embed_label_coherence_outliers(spark, sf_dir):
 _HLL_CONST = repr(0.7213 / (1 + 1.079 / 4096) * 4096 * 4096 * float(1 << 49))
 
 
+def _pagerank_oracle_sql(iterations: int = 3) -> str:
+    """Unrolled power-iteration oracle. Constants are computed with the
+    SAME IEEE operations as the Spark side ((1 - 0.85)/N, not a 0.15
+    literal — they are different doubles), and every iteration's ranks
+    round to 6dp exactly like operators/sketches.py::pagerank."""
+    head = f"""
+    WITH e AS (
+      SELECT doc_id % 50 AS u,
+             {hash64_sql("CAST(doc_id AS VARCHAR)")} % 50 AS v
+      FROM documents
+      WHERE doc_id % 50 <> {hash64_sql("CAST(doc_id AS VARCHAR)")} % 50),
+    nodes AS (SELECT DISTINCT u AS node FROM e UNION SELECT DISTINCT v FROM e),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    deg AS (SELECT u, COUNT(*) AS deg FROM e GROUP BY u),
+    r0 AS (SELECT node, ROUND(1.0 / nn.n, 6) AS rank FROM nodes, nn)"""
+    blocks = []
+    for i in range(1, iterations + 1):
+        p = i - 1
+        blocks.append(f"""
+    c{i} AS (
+      SELECT e.v AS node, SUM(r{p}.rank / d.deg) AS inflow
+      FROM e JOIN r{p} ON r{p}.node = e.u JOIN deg d ON d.u = e.u
+      GROUP BY 1),
+    dm{i} AS (
+      SELECT COALESCE(SUM(rank), 0) AS dm FROM r{p}
+      WHERE node NOT IN (SELECT u FROM deg)),
+    r{i} AS (
+      SELECT n.node,
+             ROUND((1 - 0.85) / nn.n
+                   + 0.85 * (COALESCE(c{i}.inflow, 0) + dm{i}.dm / nn.n), 6)
+               AS rank
+      FROM nodes n LEFT JOIN c{i} ON c{i}.node = n.node, dm{i}, nn)""")
+    return (
+        head + "," + ",".join(blocks)
+        + f"\n    SELECT node, rank AS pagerank FROM r{iterations}\n    "
+    )
+
+
+@register(
+    "graph_pagerank_hosts",
+    "Host-graph PageRank (Page et al. 1999) — the link-authority frontier "
+    "priority a web-scale crawler feeds its pop order (the reference's "
+    "priority is selector rank only). 3 power iterations over a synthetic "
+    "50-node host graph derived from documents via the shared hash64; "
+    "each iteration = join on src + groupBy dst + a 1-row dangling-mass "
+    "broadcast (whitelisted scalar). Ranks round 6dp per iteration so the "
+    "unrolled DuckDB oracle tracks the identical fixed-point prefix.",
+    oracle=_pagerank_oracle_sql(3),
+)
+def graph_pagerank_hosts(spark, sf_dir):
+    from german_newspaper_crawler_spark.operators.sketches import pagerank
+
+    d = t(spark, sf_dir, "documents")
+    h = hash64(F.col("doc_id").cast("string")) % 50
+    edges = d.select(
+        (F.col("doc_id") % 50).alias("src"), h.alias("dst")
+    ).where(F.col("src") != F.col("dst"))
+    return pagerank(edges, "src", "dst", iterations=3, damping=0.85)
+
+
 @register(
     "sketch_hll_distinct_users",
     "Relational HyperLogLog distinct sketch (Flajolet et al. 2007) — "
@@ -2745,6 +2805,8 @@ _ROTATED_TO_TAIL = [
     "u2_refresh_collection_hashes",
     # rotated r4 for the HLL sketch entry
     "o1_o2_sort_truncate_tokens",
+    # rotated r4 for the PageRank entry
+    "a1_u1_distinct_union_hashes",
 ]
 
 _PROMOTED_TO_FRONT = [
@@ -2766,6 +2828,7 @@ _PROMOTED_TO_FRONT = [
     "text_quality_classifier_hashed",
     "embed_label_coherence_outliers",
     "sketch_hll_distinct_users",
+    "graph_pagerank_hosts",
 ]
 
 

@@ -428,3 +428,31 @@ def test_hll_distinct_accuracy_and_register_exactness(spark):
         for r in hll_distinct(df.repartition(13), "key", "grp", p=12).collect()
     }
     assert again == got
+
+
+def test_pagerank_semantics(spark):
+    """3-iteration PageRank: total mass conserved (sums to ~1 including the
+    damping redistribution), an authority node (all others point at it)
+    outranks everything, and the result is partition-count invariant."""
+    from pyspark.sql import functions as F
+
+    from german_newspaper_crawler_spark.operators.sketches import pagerank
+
+    # star: 1..5 -> 0, plus a 5 -> 6 edge so node 6 exists with low rank
+    edges = spark.createDataFrame(
+        [(i, 0) for i in range(1, 6)] + [(5, 6)], "src long, dst long"
+    )
+    got = {
+        r["node"]: r["pagerank"]
+        for r in pagerank(edges, "src", "dst", iterations=3).collect()
+    }
+    assert len(got) == 7
+    assert abs(sum(got.values()) - 1.0) < 1e-3
+    assert got[0] == max(got.values())  # the authority wins
+    assert got[0] > 3 * got[6]
+
+    again = {
+        r["node"]: r["pagerank"]
+        for r in pagerank(edges.repartition(5), "src", "dst", iterations=3).collect()
+    }
+    assert again == got

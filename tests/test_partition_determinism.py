@@ -51,6 +51,8 @@ RISKY = [
     "text_quality_classifier_hashed",
     # r4: HLL sketch — integer register sum must be partition-independent
     "sketch_hll_distinct_users",
+    # r4: PageRank — per-iteration float sums + 6dp re-rounding
+    "graph_pagerank_hosts",
 ]
 
 

@@ -20,6 +20,8 @@ PLAN_EXCEPTIONS = {
     "text_charbigram_logprob",  # crossJoin with a 1-ROW broadcast aggregate
                                 # (the corpus total) — constant-size build,
                                 # the right plan for scalar denominators
+    "graph_pagerank_hosts",     # same 1-row broadcast scalar per iteration
+                                # (the dangling-mass aggregate)
 }
 
 
