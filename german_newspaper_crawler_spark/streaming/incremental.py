@@ -518,3 +518,89 @@ def substring_dedup_batch(
         )
 
     return process
+
+
+def streaming_hll_distinct(
+    docs: DataFrame,
+    store,
+    checkpoint: str,
+    key_col: str,
+    group_col: str,
+    p: int = 12,
+    regs_table: str = "hll_regs",
+):
+    """Continuously-running twin of :func:`operators.sketches.hll_distinct`:
+    each microbatch folds its rows' (bucket, rho) pairs into a persistent
+    per-group register table by MAX — the HLL merge is lossless, so the
+    accumulated registers (and therefore the estimate, an exact function of
+    the register multiset) equal the batch sketch over everything that ever
+    arrived, regardless of chunking, restarts or at-least-once replays
+    (max is idempotent — this twin needs NO batch-id fence). State is
+    groups x 2^p registers, independent of stream length: the property
+    that makes sketches the unbounded-stream answer where exact distinct
+    state grows forever.
+    """
+    process = hll_batch(store, key_col, group_col, p, regs_table)
+    return (
+        docs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )
+
+
+def hll_batch(
+    store,
+    key_col: str,
+    group_col: str,
+    p: int = 12,
+    regs_table: str = "hll_regs",
+):
+    """Per-microbatch register fold behind :func:`streaming_hll_distinct`."""
+    from german_newspaper_crawler_spark.functions.hashing import hash64
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        m = 1 << p
+        h = hash64(F.col(key_col).cast("string"))
+        w = F.shiftright(h, p)
+        rho = F.when(w == 0, F.lit(49)).otherwise(F.lit(49) - F.length(F.bin(w)))
+        regs = (
+            batch_df.where(F.col(key_col).isNotNull())
+            .select(
+                F.col(group_col).alias("g"),
+                F.pmod(h, F.lit(m)).alias("bucket"),
+                rho.alias("rho"),
+            )
+            .groupBy("g", "bucket")
+            .agg(F.max("rho").alias("M"))
+        )
+        if store.exists(regs_table):
+            prior = store.read(spark, regs_table)
+            regs = (
+                regs.unionByName(prior)
+                .groupBy("g", "bucket")
+                .agg(F.max("M").alias("M"))
+            )
+        store.overwrite(regs_table, regs)
+
+    return process
+
+
+def hll_estimate(spark, store, p: int = 12, regs_table: str = "hll_regs"):
+    """(group, est_distinct[4dp]) from the accumulated register table —
+    the same exact-bigint harmonic sum as the batch operator."""
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    two49 = float(1 << 49)
+    per_group = store.read(spark, regs_table).groupBy("g").agg(
+        F.sum(F.expr("shiftleft(1L, 49 - M)")).alias("S"),
+        F.count("*").alias("n_regs"),
+    )
+    zeros = F.lit(m) - F.col("n_regs")
+    total = F.col("S") + zeros * F.lit(1 << 49)
+    e_raw = F.lit(alpha * m * m * two49) / total.cast("double")
+    est = F.when(
+        (e_raw <= 2.5 * m) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(e_raw)
+    return per_group.select("g", F.round(est, 4).alias("est_distinct"))

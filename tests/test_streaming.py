@@ -380,3 +380,58 @@ def test_streaming_substring_dedup_matches_batch_and_replays(spark, tmp_path):
         for r in store.read(spark, "seen_spans").collect()
     }
     assert seen_after == seen_before
+
+
+def test_streaming_hll_registers_merge_losslessly(spark, tmp_path):
+    """foreachBatch HLL twin: MAX-merged registers over chunked arrivals
+    (with a restart) equal the batch sketch over the full data — the
+    estimate is an exact function of the register multiset, so the
+    accumulated stream estimate == hll_distinct's, bit for bit. Replaying
+    a batch is idempotent without any fence (max is idempotent)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from german_newspaper_crawler_spark.operators.sketches import hll_distinct
+    from german_newspaper_crawler_spark.sources.store import SnapshotStore
+    from german_newspaper_crawler_spark.streaming.incremental import (
+        hll_batch, hll_estimate, streaming_hll_distinct,
+    )
+
+    schema = StructType(
+        [StructField("grp", StringType()), StructField("key", LongType())]
+    )
+    c1 = spark.range(3000).select(
+        (F.col("id") % 2).cast("string").alias("grp"), (F.col("id") % 2500).alias("key"))
+    c2 = spark.range(3000, 6000).select(
+        (F.col("id") % 2).cast("string").alias("grp"), (F.col("id") % 2500).alias("key"))
+
+    src, ckpt = str(tmp_path / "rows"), str(tmp_path / "ckpt")
+    store = SnapshotStore(str(tmp_path / "store"))
+    c1.coalesce(1).write.mode("append").parquet(src)
+
+    def run():
+        stream = streaming_hll_distinct(
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src),
+            store, ckpt, key_col="key", group_col="grp", p=12,
+        )
+        stream.start().awaitTermination()
+
+    run()
+    c2.coalesce(1).write.mode("append").parquet(src)
+    run()  # restart: processes only the new file
+
+    got = {
+        r["g"]: r["est_distinct"] for r in hll_estimate(spark, store).collect()
+    }
+    expect = {
+        r["grp"]: r["est_distinct"]
+        for r in hll_distinct(c1.unionByName(c2), "key", "grp", p=12).collect()
+    }
+    assert got == expect  # lossless register merge → identical estimate
+
+    # replay: re-folding an already-folded chunk changes nothing
+    hll_batch(store, "key", "grp")(c2, 99)
+    got2 = {
+        r["g"]: r["est_distinct"] for r in hll_estimate(spark, store).collect()
+    }
+    assert got2 == expect
