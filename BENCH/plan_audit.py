@@ -83,6 +83,42 @@ NOTES = {
         "PPJoin posting sort, measured +0.75 s) → iterative min-label "
         "components (localCheckpoint per round) → keepers aggregate."
     ),
+    "text_substring_dedup": (
+        "ExactSubstr (r4): k-gram hash occurrences → partial-aggregatable "
+        "groupBy(hash).min(struct) winners (no hash window) → duplicate "
+        "intervals as ±1 boundary events → DOC-LOCAL running-sum coverage "
+        "(window partitioned by doc, bounded by doc length) → doc-local "
+        "rebuild. No k-fold explode of duplicate windows anywhere."
+    ),
+    "text_quality_classifier_hashed": (
+        "fastText-inference shape (r4): one explode ∝ corpus tokens → "
+        "BROADCAST weight-table join on the 1024-bucket feature hash → "
+        "per-doc partial-agg bigint sum. The weight table is the trained "
+        "model; inference never shuffles more than (doc, bucket) pairs."
+    ),
+    "sketch_hll_distinct_users": (
+        "HLL sketch (r4): groupBy(group, bucket).max(rho) — shuffle keys "
+        "∝ groups × 4096, INDEPENDENT of row count — then one bounded "
+        "groupBy(group) with an exact integer harmonic sum. The shape "
+        "that replaces exact COUNT(DISTINCT) state at 10^10 keys."
+    ),
+    "sketch_countmin_user_counts": (
+        "Count-Min (r4): build = explode ×3 rows → groupBy over d×w "
+        "bounded cells (partial-aggregatable); estimate = broadcast join "
+        "of the queried keys against the cell table + min. Counter state "
+        "never grows with distinct keys."
+    ),
+    "graph_pagerank_hosts": (
+        "PageRank (r4): per iteration one join on src + one groupBy dst "
+        "(shuffle ∝ edges) + a 1-row dangling-mass broadcast scalar "
+        "(whitelisted). Ranks 6dp-rounded each iteration — the oracle "
+        "tracks the identical fixed-point prefix."
+    ),
+    "embed_label_coherence_outliers": (
+        "Coherence gate (r4): per-(label, dim) partial-agg centroid avg → "
+        "labels-sized broadcast array table → per-row sequential zip_with "
+        "cosine. Corpus-linear; no pairwise join anywhere."
+    ),
 }
 
 

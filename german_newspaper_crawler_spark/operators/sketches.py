@@ -144,3 +144,59 @@ def pagerank(
             )
         )
     return ranks.select("node", F.col("rank").alias("pagerank"))
+
+
+def countmin_estimate(
+    df: DataFrame,
+    key_col: str,
+    queries: DataFrame,
+    d: int = 3,
+    w: int = 2048,
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) point-count
+    estimates: the heavy-hitter / frequency primitive at stream scale —
+    counter state is ``d × w`` CELLS regardless of row count, vs an exact
+    ``groupBy(key)`` whose state grows with distinct keys (10^10 urls).
+
+    Build: each row increments ``d`` counters (row i, column
+    hash64(key # i) mod w) — one explode + one partial-aggregatable
+    groupBy over a bounded key space. Estimate for a queried key =
+    ``min`` over its d cells (one-sided: never undercounts). Counters are
+    exact bigints, so estimates are engine- and partitioning-exact.
+
+    ``queries``: DataFrame with ``key_col`` — the keys to estimate
+    (broadcast; the sketch answers point queries, enumeration is what it
+    replaces). Output: (key, est_count, exact_count).
+    """
+    rows = F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("r")
+    cell_of = F.pmod(
+        hash64(F.concat(F.col("k").cast("string"), F.lit("#"), F.col("r"))),
+        F.lit(w),
+    )
+    cells = (
+        df.where(F.col(key_col).isNotNull())
+        .select(F.col(key_col).alias("k"), rows)
+        .withColumn("c", cell_of)
+        .groupBy("r", "c")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    q = (
+        queries.select(F.col(key_col).alias("k")).distinct()
+        .select("k", rows)
+        .withColumn("c", cell_of)
+    )
+    est = (
+        q.join(F.broadcast(cells), ["r", "c"], "left")
+        .groupBy("k")
+        .agg(F.min(F.coalesce("n", F.lit(0))).alias("est_count"))
+    )
+    exact = (
+        df.where(F.col(key_col).isNotNull())
+        .groupBy(F.col(key_col).alias("k"))
+        .agg(F.count("*").cast("long").alias("exact_count"))
+    )
+    return est.join(exact, "k", "left").select(
+        F.col("k").alias(key_col),
+        F.col("est_count").cast("long").alias("est_count"),
+        F.coalesce("exact_count", F.lit(0)).cast("long").alias("exact_count"),
+    )

@@ -2704,6 +2704,46 @@ def _pagerank_oracle_sql(iterations: int = 3) -> str:
 
 
 @register(
+    "sketch_countmin_user_counts",
+    "Count-Min sketch (Cormode & Muthukrishnan 2005) point-count "
+    "estimates — the heavy-hitter primitive whose counter state is d x w "
+    "CELLS regardless of distinct keys (vs exact groupBy state ∝ 10^10 "
+    "urls). d=3 rows x w=2048 over the shared hash64; counters are exact "
+    "bigints so estimates are engine- and partitioning-exact; min over a "
+    "key's d cells never undercounts. Queried keys: user_id < 20.",
+    oracle=f"""
+    WITH src AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
+    cells AS (
+      SELECT CAST(r.i AS INT) AS r,
+             {hash64_sql("CAST(user_id AS VARCHAR) || '#' || CAST(r.i AS VARCHAR)")} % 2048 AS c,
+             COUNT(*) AS n
+      FROM src, UNNEST(generate_series(0, 2)) AS r(i)
+      GROUP BY 1, 2),
+    q AS (SELECT DISTINCT user_id FROM src WHERE user_id < 20),
+    qc AS (
+      SELECT user_id, CAST(r.i AS INT) AS r,
+             {hash64_sql("CAST(user_id AS VARCHAR) || '#' || CAST(r.i AS VARCHAR)")} % 2048 AS c
+      FROM q, UNNEST(generate_series(0, 2)) AS r(i)),
+    est AS (
+      SELECT user_id, MIN(COALESCE(cells.n, 0)) AS est_count
+      FROM qc LEFT JOIN cells ON cells.r = qc.r AND cells.c = qc.c
+      GROUP BY 1),
+    ex AS (SELECT user_id, COUNT(*) AS exact_count FROM src GROUP BY 1)
+    SELECT est.user_id, CAST(est_count AS BIGINT) AS est_count,
+           CAST(COALESCE(ex.exact_count, 0) AS BIGINT) AS exact_count
+    FROM est LEFT JOIN ex ON ex.user_id = est.user_id
+    """,
+)
+def sketch_countmin_user_counts(spark, sf_dir):
+    from german_newspaper_crawler_spark.operators.sketches import countmin_estimate
+
+    ev = t(spark, sf_dir, "events")
+    return countmin_estimate(
+        ev, "user_id", queries=ev.where(F.col("user_id") < 20), d=3, w=2048
+    )
+
+
+@register(
     "graph_pagerank_hosts",
     "Host-graph PageRank (Page et al. 1999) — the link-authority frontier "
     "priority a web-scale crawler feeds its pop order (the reference's "
@@ -2807,6 +2847,8 @@ _ROTATED_TO_TAIL = [
     "o1_o2_sort_truncate_tokens",
     # rotated r4 for the PageRank entry
     "a1_u1_distinct_union_hashes",
+    # rotated r4 for the count-min entry
+    "a4_counts_by_collection",
 ]
 
 _PROMOTED_TO_FRONT = [
@@ -2829,6 +2871,7 @@ _PROMOTED_TO_FRONT = [
     "embed_label_coherence_outliers",
     "sketch_hll_distinct_users",
     "graph_pagerank_hosts",
+    "sketch_countmin_user_counts",
 ]
 
 

@@ -456,3 +456,30 @@ def test_pagerank_semantics(spark):
         for r in pagerank(edges.repartition(5), "src", "dst", iterations=3).collect()
     }
     assert again == got
+
+
+def test_countmin_never_undercounts_and_is_tight_when_sparse(spark):
+    """CM sketch invariants: est >= exact for every key (one-sided error);
+    with few distinct keys vs d x w cells, collisions are absent and the
+    estimate is exact; reshuffle-identical."""
+    from pyspark.sql import functions as F
+
+    from german_newspaper_crawler_spark.operators.sketches import countmin_estimate
+
+    df = spark.range(10_000).select((F.col("id") % 40).alias("key"))
+    q = spark.range(40).select(F.col("id").alias("key"))
+    got = {
+        r["key"]: (r["est_count"], r["exact_count"])
+        for r in countmin_estimate(df, "key", q, d=3, w=2048).collect()
+    }
+    assert len(got) == 40
+    for est, exact in got.values():
+        assert est >= exact  # one-sided
+        assert exact == 250
+        assert est == exact  # 40 keys into 3x2048 cells: no collisions
+
+    again = {
+        r["key"]: (r["est_count"], r["exact_count"])
+        for r in countmin_estimate(df.repartition(7), "key", q, d=3, w=2048).collect()
+    }
+    assert again == got

@@ -53,6 +53,8 @@ RISKY = [
     "sketch_hll_distinct_users",
     # r4: PageRank — per-iteration float sums + 6dp re-rounding
     "graph_pagerank_hosts",
+    # r4: count-min — exact integer counters, gated anyway
+    "sketch_countmin_user_counts",
 ]
 
 
