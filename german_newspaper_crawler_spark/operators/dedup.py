@@ -27,7 +27,14 @@ def _release_cache_with(result: DataFrame, cached: DataFrame) -> DataFrame:
     """Unpersist ``cached`` (non-blocking) when ``result`` is garbage
     collected — library callers that persist intermediates through us get
     automatic release without holding a handle; the cache lives exactly as
-    long as the derived plan object that reads it."""
+    long as the derived plan object that reads it.
+
+    CONTRACT (ADVICE-r4): the finalizer fires when THIS Python wrapper
+    dies, not when the underlying plan does. A caller that derives further
+    frames from ``result`` and drops the handle before running an action
+    releases the cache too early — such callers must re-tie the release to
+    the outermost frame they actually hold through the action via
+    :func:`carry_cache_release`."""
 
     def _release(c=cached):
         try:
@@ -35,7 +42,34 @@ def _release_cache_with(result: DataFrame, cached: DataFrame) -> DataFrame:
         except Exception:
             pass  # session already stopped — nothing left to free
 
-    weakref.finalize(result, _release)
+    fin = weakref.finalize(result, _release)
+    # keep handles discoverable so carry_cache_release can re-tie them
+    result._gncs_cache_finalizers = (
+        getattr(result, "_gncs_cache_finalizers", []) + [fin]
+    )
+    return result
+
+
+def carry_cache_release(result: DataFrame, *sources: DataFrame) -> DataFrame:
+    """Move cache-release finalizers from intermediate frames onto the
+    outermost frame the caller holds through the action. Use when deriving
+    downstream frames from an operator result that carries a
+    :func:`_release_cache_with` finalizer (e.g. ``ngram_jaccard_pairs``
+    with ``max_df``) — without this the intermediate wrapper dies at scope
+    exit and the persist is silently released before the first action."""
+    moved = []
+    for s in sources:
+        for fin in getattr(s, "_gncs_cache_finalizers", []):
+            detached = fin.detach()  # None if already fired
+            if detached is None:
+                continue
+            _obj, func, args, kwargs = detached
+            moved.append(weakref.finalize(result, func, *args, **kwargs))
+        if getattr(s, "_gncs_cache_finalizers", None):
+            s._gncs_cache_finalizers = []
+    result._gncs_cache_finalizers = (
+        getattr(result, "_gncs_cache_finalizers", []) + moved
+    )
     return result
 
 

@@ -233,7 +233,12 @@ def hashed_linear_classifier(
     the ROUNDED score (repo convention).
 
     Scale shape: one explode (∝ corpus tokens) → broadcast join on bucket →
-    partial-aggregatable per-doc sum/count. Output: (id, score, keep).
+    partial-aggregatable per-doc sum/count. Output: (id, score, keep) —
+    one row per input doc: docs whose bag matches NO weight bucket
+    (empty/whitespace-only text, or a sparse deployment table missing
+    their buckets) get the bias-only sigmoid, exactly what a fastText
+    model emits for an empty feature vector, instead of being silently
+    dropped (ADVICE-r4).
     """
     from pyspark.sql import functions as F
 
@@ -266,10 +271,15 @@ def hashed_linear_classifier(
             F.count("*").cast("long").alias("n"),
         )
     )
+    # left-join every doc back in: unmatched docs score sigmoid(bias).
+    # coalesce leaves the matched branch's float ops untouched (the inner
+    # division is never null when s/n are present), so matched scores are
+    # bit-identical to the inner-join form.
+    everyone = base.select("id").join(scored, "id", "left")
     score = F.round(
-        F.expr(f"1d / (1d + exp(-(s / (1000d * n) + {bias}d)))"), 6
+        F.expr(f"1d / (1d + exp(-(coalesce(s / (1000d * n), 0d) + {bias}d)))"), 6
     )
-    return scored.select(
+    return everyone.select(
         F.col("id").alias(id_col),
         score.alias("score"),
         (score >= F.lit(0.5)).alias("keep"),

@@ -1564,13 +1564,18 @@ def g5_image_decode_phash(spark, sf_dir):
 )
 def dedup_components_keepers(spark, sf_dir):
     from german_newspaper_crawler_spark.operators.components import dedup_keepers
-    from german_newspaper_crawler_spark.operators.dedup import ngram_jaccard_pairs
+    from german_newspaper_crawler_spark.operators.dedup import (
+        carry_cache_release, ngram_jaccard_pairs,
+    )
 
     docs = t(spark, sf_dir, "documents")
     edges = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5, max_df=100)
-    return dedup_keepers(docs.select("doc_id"), "doc_id", edges).select(
+    out = dedup_keepers(docs.select("doc_id"), "doc_id", edges).select(
         "doc_id", F.col("component").cast("long").alias("component"), "is_keeper"
     )
+    # edges' shingle-cache finalizer must outlive the action on OUT, not
+    # the edges wrapper (which dies at return) — re-tie it (ADVICE-r4)
+    return carry_cache_release(out, edges)
 
 @register(
     "f5x_canonicalize_url",
@@ -1911,7 +1916,7 @@ def curation_pipeline(spark, sf_dir):
     from german_newspaper_crawler_spark.functions.text import token_count_estimate
     from german_newspaper_crawler_spark.operators.components import dedup_keepers
     from german_newspaper_crawler_spark.operators.dedup import (
-        _release_cache_with, ngram_jaccard_pairs,
+        _release_cache_with, carry_cache_release, ngram_jaccard_pairs,
     )
 
     docs = t(spark, sf_dir, "documents")
@@ -1942,7 +1947,11 @@ def curation_pipeline(spark, sf_dir):
     out = curated.groupBy("source").agg(
         F.count("*").cast("long").alias("n_curated")
     )
-    return _release_cache_with(out, exact_keep)
+    # re-tie edges' shingle-cache release to OUT (the frame the caller
+    # holds through the action); the edges wrapper dies at return and
+    # would otherwise unpersist the shingle cache before it is ever read
+    # (ADVICE-r4)
+    return _release_cache_with(carry_cache_release(out, edges), exact_keep)
 
 
 # ---------------------------------------------------------------------------
@@ -2608,10 +2617,10 @@ def text_substring_dedup(spark, sf_dir):
     agg AS (
       SELECT doc_id, SUM(wm) AS s, COUNT(*) AS n
       FROM feats JOIN w USING (bucket) GROUP BY doc_id)
-    SELECT doc_id,
-           ROUND(1 / (1 + EXP(-(s / (1000.0 * n) + 0.1))), 6) AS score,
-           ROUND(1 / (1 + EXP(-(s / (1000.0 * n) + 0.1))), 6) >= 0.5 AS keep
-    FROM agg
+    SELECT d.doc_id,
+           ROUND(1 / (1 + EXP(-(COALESCE(s / (1000.0 * n), 0) + 0.1))), 6) AS score,
+           ROUND(1 / (1 + EXP(-(COALESCE(s / (1000.0 * n), 0) + 0.1))), 6) >= 0.5 AS keep
+    FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
     """,
 )
 def text_quality_classifier_hashed(spark, sf_dir):
@@ -2738,8 +2747,11 @@ def sketch_countmin_user_counts(spark, sf_dir):
     from german_newspaper_crawler_spark.operators.sketches import countmin_estimate
 
     ev = t(spark, sf_dir, "events")
+    # include_exact=True for the oracle's accuracy columns — the 100-TB
+    # call path defaults to False (no exact per-key groupBy)
     return countmin_estimate(
-        ev, "user_id", queries=ev.where(F.col("user_id") < 20), d=3, w=2048
+        ev, "user_id", queries=ev.where(F.col("user_id") < 20), d=3, w=2048,
+        include_exact=True,
     )
 
 
@@ -2810,7 +2822,12 @@ def graph_pagerank_hosts(spark, sf_dir):
 def sketch_hll_distinct_users(spark, sf_dir):
     from german_newspaper_crawler_spark.operators.sketches import hll_distinct
 
-    return hll_distinct(t(spark, sf_dir, "events"), "user_id", "event_type", p=12)
+    # include_exact=True for the oracle's accuracy column — the 100-TB
+    # call path defaults to False (no countDistinct shuffle)
+    return hll_distinct(
+        t(spark, sf_dir, "events"), "user_id", "event_type", p=12,
+        include_exact=True,
+    )
 
 
 # ---------------------------------------------------------------------------

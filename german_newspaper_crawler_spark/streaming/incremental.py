@@ -557,13 +557,18 @@ def hll_batch(
 ):
     """Per-microbatch register fold behind :func:`streaming_hll_distinct`."""
     from german_newspaper_crawler_spark.functions.hashing import hash64
+    from german_newspaper_crawler_spark.operators.sketches import _hll_rank_exprs
+
+    max_rank = _hll_rank_exprs(p)  # 61 - p over the 60-bit shared hash
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         m = 1 << p
         h = hash64(F.col(key_col).cast("string"))
         w = F.shiftright(h, p)
-        rho = F.when(w == 0, F.lit(49)).otherwise(F.lit(49) - F.length(F.bin(w)))
+        rho = F.when(w == 0, F.lit(max_rank)).otherwise(
+            F.lit(max_rank) - F.length(F.bin(w))
+        )
         regs = (
             batch_df.where(F.col(key_col).isNotNull())
             .select(
@@ -588,17 +593,20 @@ def hll_batch(
 
 def hll_estimate(spark, store, p: int = 12, regs_table: str = "hll_regs"):
     """(group, est_distinct[4dp]) from the accumulated register table —
-    the same exact-bigint harmonic sum as the batch operator."""
+    the same exact-bigint harmonic sum as the batch operator. ``p`` must
+    match the precision the registers were built with (rho ∈ [1, 61-p])."""
+    from german_newspaper_crawler_spark.operators.sketches import _hll_rank_exprs
+
     m = 1 << p
+    max_rank = _hll_rank_exprs(p)
     alpha = 0.7213 / (1 + 1.079 / m)
-    two49 = float(1 << 49)
     per_group = store.read(spark, regs_table).groupBy("g").agg(
-        F.sum(F.expr("shiftleft(1L, 49 - M)")).alias("S"),
+        F.sum(F.expr(f"shiftleft(1L, {max_rank} - M)")).alias("S"),
         F.count("*").alias("n_regs"),
     )
     zeros = F.lit(m) - F.col("n_regs")
-    total = F.col("S") + zeros * F.lit(1 << 49)
-    e_raw = F.lit(alpha * m * m * two49) / total.cast("double")
+    total = F.col("S") + zeros * F.lit(1 << max_rank)
+    e_raw = F.lit(alpha * m * m * float(1 << max_rank)) / total.cast("double")
     est = F.when(
         (e_raw <= 2.5 * m) & (zeros > 0),
         F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),

@@ -302,7 +302,9 @@ def test_crawl_loop_runs_enrich_stage_tagger(spark, tmp_path):
 def test_hashed_linear_classifier_exact_score(spark):
     """Inference is a pure function of the uni+bigram bag: the score equals
     the hand-computed sigmoid of the mean bucket weight (+bias); 1-token
-    docs contribute no fake bigram; empty docs drop."""
+    docs contribute no fake bigram; featureless docs get the bias-only
+    sigmoid a fastText model emits for an empty feature vector
+    (ADVICE-r4: they used to be silently dropped)."""
     import hashlib
     import math
 
@@ -335,6 +337,8 @@ def test_hashed_linear_classifier_exact_score(spark):
         ["alpha", "beta", "gamma", "alpha beta", "beta gamma"]
     )
     assert got[2][0] == expected(["solo"])  # no fake self-bigram
-    assert 3 not in got  # featureless doc drops (quarantine at scale)
+    # featureless doc: bias-only sigmoid, never a silent drop
+    assert got[3][0] == round(1 / (1 + math.exp(-0.1)), 6)
+    assert len(got) == 3  # one row per input doc
     for score, keep in got.values():
         assert keep == (score >= 0.5)

@@ -417,7 +417,7 @@ def test_hll_distinct_accuracy_and_register_exactness(spark):
     )
     got = {
         r["grp"]: (r["est_distinct"], r["exact_distinct"])
-        for r in hll_distinct(df, "key", "grp", p=12).collect()
+        for r in hll_distinct(df, "key", "grp", p=12, include_exact=True).collect()
     }
     assert len(got) == 3
     for est, exact in got.values():
@@ -425,9 +425,43 @@ def test_hll_distinct_accuracy_and_register_exactness(spark):
 
     again = {
         r["grp"]: (r["est_distinct"], r["exact_distinct"])
-        for r in hll_distinct(df.repartition(13), "key", "grp", p=12).collect()
+        for r in hll_distinct(
+            df.repartition(13), "key", "grp", p=12, include_exact=True
+        ).collect()
     }
     assert again == got
+
+
+def test_hll_distinct_p_generality_and_scale_profile(spark):
+    """ADVICE-r4 (medium): the rank/weight constants must derive from p —
+    at p=8 and p=14 the estimate still lands within ~3 sigma of exact
+    (1.04/sqrt(2^p)), where the old hard-coded p=12 constants would bias
+    the estimate by ~2^(p-12). Also: the default include_exact=False
+    profile returns no exact column and its plan contains no exact
+    distinct aggregate — the 100-TB call path never pays for it."""
+    from pyspark.sql import functions as F
+
+    from german_newspaper_crawler_spark.operators.sketches import hll_distinct
+
+    df = spark.range(60_000).select(
+        F.lit("g").alias("grp"),
+        (F.col("id") % 20_000).cast("string").alias("key"),
+    )
+    for p in (8, 14):
+        sigma = 1.04 / (1 << p) ** 0.5
+        [row] = hll_distinct(df, "key", "grp", p=p, include_exact=True).collect()
+        rel_err = abs(row["est_distinct"] - row["exact_distinct"]) / 20_000
+        assert rel_err < 3.5 * sigma, (p, row["est_distinct"], rel_err)
+
+    scale = hll_distinct(df, "key", "grp", p=12)
+    assert scale.columns == ["grp", "est_distinct"]
+    plan = scale._jdf.queryExecution().optimizedPlan().toString()
+    assert "distinct" not in plan.lower().replace("est_distinct", "")
+
+    import pytest
+
+    with pytest.raises(ValueError, match="precision"):
+        hll_distinct(df, "key", "grp", p=3)
 
 
 def test_pagerank_semantics(spark):
@@ -470,7 +504,9 @@ def test_countmin_never_undercounts_and_is_tight_when_sparse(spark):
     q = spark.range(40).select(F.col("id").alias("key"))
     got = {
         r["key"]: (r["est_count"], r["exact_count"])
-        for r in countmin_estimate(df, "key", q, d=3, w=2048).collect()
+        for r in countmin_estimate(
+            df, "key", q, d=3, w=2048, include_exact=True
+        ).collect()
     }
     assert len(got) == 40
     for est, exact in got.values():
@@ -480,6 +516,74 @@ def test_countmin_never_undercounts_and_is_tight_when_sparse(spark):
 
     again = {
         r["key"]: (r["est_count"], r["exact_count"])
-        for r in countmin_estimate(df.repartition(7), "key", q, d=3, w=2048).collect()
+        for r in countmin_estimate(
+            df.repartition(7), "key", q, d=3, w=2048, include_exact=True
+        ).collect()
     }
     assert again == got
+
+    # scale profile: default include_exact=False — no exact column, and no
+    # per-key exact aggregate anywhere in the plan (only the bounded d x w
+    # cell groupBy and the per-(r,c) query-side grouping survive)
+    scale = countmin_estimate(df, "key", q, d=3, w=2048)
+    assert scale.columns == ["key", "est_count"]
+    plan = scale._jdf.queryExecution().optimizedPlan().toString()
+    assert "exact_count" not in plan
+
+
+def test_pagerank_deep_iterations_checkpointed(spark):
+    """iterations=20 must complete with flat plan depth (each step is
+    localCheckpoint-ed past the depth threshold — the lazy chain would
+    recompute ~3^20 otherwise) and converge to the same authority ordering
+    as the shallow run."""
+    from german_newspaper_crawler_spark.operators.sketches import pagerank
+
+    edges = spark.createDataFrame(
+        [(i, 0) for i in range(1, 6)] + [(5, 6)], "src long, dst long"
+    )
+    got = {
+        r["node"]: r["pagerank"]
+        for r in pagerank(edges, "src", "dst", iterations=20).collect()
+    }
+    assert len(got) == 7
+    assert abs(sum(got.values()) - 1.0) < 1e-3
+    assert got[0] == max(got.values())
+
+
+def test_cache_release_carries_to_derived_frame(spark):
+    """ADVICE-r4: the shingle-cache finalizer attached to the frame
+    ngram_jaccard_pairs returns must survive the intermediate wrapper's
+    death once re-tied to a derived frame via carry_cache_release — and
+    still fire when the outer frame finally dies."""
+    import gc
+
+    from pyspark.sql import functions as F
+
+    from german_newspaper_crawler_spark.operators.dedup import (
+        carry_cache_release, ngram_jaccard_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e g"), (3, "x y z w v u")],
+        "doc_id long, text string",
+    )
+    edges = ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.1, max_df=100)
+    assert getattr(edges, "_gncs_cache_finalizers", [])
+    out = carry_cache_release(
+        edges.groupBy().agg(F.count("*").cast("long").alias("n_pairs")), edges
+    )
+    moved = list(out._gncs_cache_finalizers)
+    assert moved and all(f.alive for f in moved)
+    assert not edges._gncs_cache_finalizers  # ownership transferred
+
+    del edges
+    gc.collect()
+    # the regression: before the fix the cache was released here, before
+    # any action ran on the derived frame
+    assert all(f.alive for f in moved)
+    [row] = out.collect()
+    assert row["n_pairs"] >= 1
+
+    del out
+    gc.collect()
+    assert not any(f.alive for f in moved)  # release fired exactly once
