@@ -612,3 +612,127 @@ def hll_estimate(spark, store, p: int = 12, regs_table: str = "hll_regs"):
         F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
     ).otherwise(e_raw)
     return per_group.select("g", F.round(est, 4).alias("est_distinct"))
+
+
+def streaming_countmin(
+    docs: DataFrame,
+    store,
+    checkpoint: str,
+    key_col: str,
+    d: int = 3,
+    w: int = 2048,
+    cells_table: str = "cm_cells",
+):
+    """Continuously-running twin of
+    :func:`operators.sketches.countmin_estimate`: each microbatch folds its
+    rows' cell increments into a persistent ``d × w`` counter table by SUM.
+    Unlike the HLL twin's idempotent MAX-merge, addition is NOT replay-safe,
+    so every cell carries a ``last_batch`` high-water: a replayed batch
+    (at-least-once delivery, restart re-emission) finds its own batch id
+    already recorded on every cell it touched and adds nothing — and
+    because the fold commits as ONE atomic snapshot overwrite, a batch's
+    counts and its fence can never be half-applied. Counter state stays
+    ``d × w`` cells regardless of stream length (the overwrite is of a
+    bounded table — the property that makes the sketch the unbounded-stream
+    answer where exact per-key state grows forever).
+    """
+    process = countmin_batch(store, key_col, d, w, cells_table)
+    return (
+        docs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )
+
+
+def _cm_cell_exprs(key_col: str, d: int, w: int):
+    """(row-explode, cell-index) expressions shared by the fold and the
+    estimate read — identical to the batch operator's so accumulated
+    counters are bit-identical to a one-shot build over the same rows."""
+    from german_newspaper_crawler_spark.functions.hashing import hash64
+
+    rows = F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("r")
+    cell_of = F.pmod(
+        hash64(F.concat(F.col("k").cast("string"), F.lit("#"), F.col("r"))),
+        F.lit(w),
+    )
+    return rows, cell_of
+
+
+def countmin_batch(
+    store,
+    key_col: str,
+    d: int = 3,
+    w: int = 2048,
+    cells_table: str = "cm_cells",
+):
+    """Per-microbatch counter fold behind :func:`streaming_countmin` —
+    exposed for direct replay testing and non-streaming incremental runs."""
+    rows, cell_of = _cm_cell_exprs(key_col, d, w)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        bc = (
+            batch_df.where(F.col(key_col).isNotNull())
+            .select(F.col(key_col).alias("k"), rows)
+            .withColumn("c", cell_of)
+            .groupBy("r", "c")
+            .agg(F.count("*").cast("long").alias("bn"))
+        )
+        if store.exists(cells_table):
+            prior = store.read(spark, cells_table)
+            # per-cell fence: add the batch's increment only where this
+            # batch id is beyond the cell's high-water (replay: it is not)
+            merged = prior.join(bc, ["r", "c"], "full_outer").select(
+                "r",
+                "c",
+                (
+                    F.coalesce("n", F.lit(0))
+                    + F.when(
+                        F.lit(batch_id) > F.coalesce("last_batch", F.lit(-1)),
+                        F.coalesce("bn", F.lit(0)),
+                    ).otherwise(F.lit(0))
+                ).cast("long").alias("n"),
+                F.greatest(
+                    F.coalesce("last_batch", F.lit(-1)),
+                    F.lit(batch_id).cast("long"),
+                ).alias("last_batch"),
+            )
+        else:
+            merged = bc.select(
+                "r",
+                "c",
+                F.col("bn").alias("n"),
+                F.lit(batch_id).cast("long").alias("last_batch"),
+            )
+        store.overwrite(cells_table, merged)
+
+    return process
+
+
+def countmin_stream_estimate(
+    spark,
+    store,
+    queries: DataFrame,
+    key_col: str,
+    d: int = 3,
+    w: int = 2048,
+    cells_table: str = "cm_cells",
+):
+    """(key, est_count) point estimates from the accumulated counter table —
+    the same min-over-d-cells read as the batch operator; counters are
+    exact bigints, so after any chunking/restart history the estimates
+    equal a one-shot :func:`operators.sketches.countmin_estimate` over
+    everything that ever arrived."""
+    rows, cell_of = _cm_cell_exprs(key_col, d, w)
+    cells = store.read(spark, cells_table).select("r", "c", "n")
+    q = (
+        queries.select(F.col(key_col).alias("k")).distinct()
+        .select("k", rows)
+        .withColumn("c", cell_of)
+    )
+    return (
+        q.join(F.broadcast(cells), ["r", "c"], "left")
+        .groupBy("k")
+        .agg(F.min(F.coalesce("n", F.lit(0))).cast("long").alias("est_count"))
+        .select(F.col("k").alias(key_col), "est_count")
+    )

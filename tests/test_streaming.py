@@ -435,3 +435,76 @@ def test_streaming_hll_registers_merge_losslessly(spark, tmp_path):
         r["g"]: r["est_distinct"] for r in hll_estimate(spark, store).collect()
     }
     assert got2 == expect
+
+
+def test_streaming_countmin_fenced_sum_merge(spark, tmp_path):
+    """foreachBatch Count-Min twin: cell-wise SUM-merged counters over
+    chunked arrivals (with a restart) equal the batch sketch over the full
+    data bit for bit — counters are exact bigints and addition commutes
+    with chunking. Addition is NOT idempotent, so the per-cell last_batch
+    fence must make replaying an already-folded batch a no-op (the failure
+    mode the HLL twin doesn't have)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from german_newspaper_crawler_spark.operators.sketches import countmin_estimate
+    from german_newspaper_crawler_spark.sources.store import SnapshotStore
+    from german_newspaper_crawler_spark.streaming.incremental import (
+        countmin_batch, countmin_stream_estimate, streaming_countmin,
+    )
+
+    schema = StructType([StructField("key", LongType())])
+    c1 = spark.range(4000).select((F.col("id") % 60).alias("key"))
+    c2 = spark.range(4000, 9000).select((F.col("id") % 60).alias("key"))
+
+    src, ckpt = str(tmp_path / "rows"), str(tmp_path / "ckpt")
+    store = SnapshotStore(str(tmp_path / "store"))
+    c1.coalesce(1).write.mode("append").parquet(src)
+
+    def run():
+        stream = streaming_countmin(
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src),
+            store, ckpt, key_col="key", d=3, w=2048,
+        )
+        stream.start().awaitTermination()
+
+    run()
+    c2.coalesce(1).write.mode("append").parquet(src)
+    run()  # restart: processes only the new file (batch id advances)
+
+    q = spark.range(60).select(F.col("id").alias("key"))
+    got = {
+        r["key"]: r["est_count"]
+        for r in countmin_stream_estimate(spark, store, q, "key").collect()
+    }
+    expect = {
+        r["key"]: r["est_count"]
+        for r in countmin_estimate(c1.unionByName(c2), "key", q, d=3, w=2048).collect()
+    }
+    assert got == expect  # chunking + restart invisible in the counters
+
+    # replay: re-folding an already-processed batch id adds nothing
+    last_batch = (
+        store.read(spark, "cm_cells").agg(F.max("last_batch")).collect()[0][0]
+    )
+    countmin_batch(store, "key")(c2, last_batch)
+    got2 = {
+        r["key"]: r["est_count"]
+        for r in countmin_stream_estimate(spark, store, q, "key").collect()
+    }
+    assert got2 == expect
+
+    # a genuinely NEW batch id does count (the fence is per-batch, not a
+    # permanent freeze)
+    countmin_batch(store, "key")(c1, last_batch + 1)
+    got3 = {
+        r["key"]: r["est_count"]
+        for r in countmin_stream_estimate(spark, store, q, "key").collect()
+    }
+    twice = {
+        r["key"]: r["est_count"]
+        for r in countmin_estimate(
+            c1.unionByName(c2).unionByName(c1), "key", q, d=3, w=2048
+        ).collect()
+    }
+    assert got3 == twice
