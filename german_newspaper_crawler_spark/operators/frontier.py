@@ -59,6 +59,8 @@ def frontier_from_seeds(seeds: DataFrame, n_buckets: int) -> DataFrame:
 def pop_batch(
     frontier: DataFrame, per_host_budget: int | None = None,
     skew_salt: int = 16,
+    authority: DataFrame | None = None,
+    round_budget: int | None = None,
 ) -> DataFrame:
     """Select the next fetch batch: pending rows ranked by the explicit
     order key within each host; optional per-host budget (O4 + G3/G4).
@@ -75,25 +77,55 @@ def pop_batch(
     so no candidate is lost; (2) the exact (priority, seq, url) rank within
     host over the ≤ budget·skew_salt survivors. Identical result, fattest
     window partition cut by the salt factor.
+
+    Link-authority priority (VERDICT-r4 #2; the signal the reference lacks
+    — its priority is selector rank only, taz.py:188-206): ``authority`` is
+    a small (host, auth_bucket) frame (lower bucket = higher PageRank,
+    maintained by the crawl loop) that BROADCAST-left-joins onto the
+    pending set; unknown hosts sort last within their selector rank. The
+    order key becomes ``(priority, auth_bucket, seq, url)`` — within one
+    host the bucket is constant, so per-host pop order is unchanged; the
+    bucket decides ACROSS hosts, which matters when ``round_budget`` caps
+    the total rows popped per round: the global exact top-k (per-partition
+    partial top-k merged once — Spark's TakeOrderedAndProject, no full
+    sort) fills from high-authority hosts first, i.e. fetch budget shifts
+    toward link authority. Both knobs default off; the default path is
+    bit-identical to the reference-parity pop (o4 oracle unchanged).
     """
     pending = frontier.where(F.col("state") == "pending")
-    if per_host_budget is None:
-        return pending
     order = [F.col("priority"), F.col("seq"), F.col("url")]
-    if skew_salt and skew_salt > 1:
-        salt = F.pmod(hash64(F.col("url")), F.lit(skew_salt)).cast("int")
-        w1 = Window.partitionBy(F.col("host"), salt).orderBy(*order)
+    if authority is not None:
         pending = (
-            pending.withColumn("__rk1", F.row_number().over(w1))
-            .where(F.col("__rk1") <= per_host_budget)
-            .drop("__rk1")
+            pending.join(
+                F.broadcast(authority.select("host", "auth_bucket")),
+                "host", "left",
+            )
+            .withColumn(
+                "__auth", F.coalesce("auth_bucket", F.lit(2**31 - 1))
+            )
+            .drop("auth_bucket")
         )
-    w = Window.partitionBy("host").orderBy(*order)
-    return (
-        pending.withColumn("__rk", F.row_number().over(w))
-        .where(F.col("__rk") <= per_host_budget)
-        .drop("__rk")
-    )
+        order = [F.col("priority"), F.col("__auth"), F.col("seq"), F.col("url")]
+    if per_host_budget is not None:
+        if skew_salt and skew_salt > 1:
+            salt = F.pmod(hash64(F.col("url")), F.lit(skew_salt)).cast("int")
+            w1 = Window.partitionBy(F.col("host"), salt).orderBy(*order)
+            pending = (
+                pending.withColumn("__rk1", F.row_number().over(w1))
+                .where(F.col("__rk1") <= per_host_budget)
+                .drop("__rk1")
+            )
+        w = Window.partitionBy("host").orderBy(*order)
+        pending = (
+            pending.withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") <= per_host_budget)
+            .drop("__rk")
+        )
+    if round_budget is not None:
+        # exact global top-k: TakeOrderedAndProject computes a partial
+        # top-k per partition and merges once — never a full global sort
+        pending = pending.orderBy(*order).limit(round_budget)
+    return pending.drop("__auth") if authority is not None else pending
 
 
 def anchors_to_frontier(
@@ -118,6 +150,46 @@ def anchors_to_frontier(
         F.col("base_url"),
         F.col("anchor_text"),
         F.current_timestamp().alias("discovered_at"),
+    )
+
+
+def authority_from_frontier(
+    frontier: DataFrame, iterations: int = 3
+) -> DataFrame:
+    """(host, rank, auth_bucket) from the OBSERVED host graph: every
+    frontier row witnesses a discovery edge ``host(base_url) → host(url)``
+    (the page's domain linked to the row's host). PageRank over the
+    distinct edge set, then log2-quantized into buckets — ``auth_bucket =
+    min(30, floor(-log2(rank)))`` — a pure per-row function of the rank
+    (no global window over hosts), so bucketing scales to 10^7 hosts and
+    is deterministic. Lower bucket = more authority.
+
+    Returns ``None`` when the frontier has no cross-host edges yet (a
+    fresh seed-only frontier); callers skip the refresh then.
+    """
+    from german_newspaper_crawler_spark.operators.sketches import pagerank
+
+    edges = (
+        frontier.select(
+            host_of("base_url").alias("src"), F.col("host").alias("dst")
+        )
+        .where(
+            F.col("src").isNotNull() & F.col("dst").isNotNull()
+            & (F.col("src") != F.col("dst"))
+        )
+        .distinct()
+    )
+    if edges.isEmpty():
+        return None
+    ranks = pagerank(edges, "src", "dst", iterations=iterations)
+    bucket = F.least(
+        F.lit(30),
+        F.floor(-F.log2(F.greatest(F.col("pagerank"), F.lit(1e-9)))),
+    ).cast("int")
+    return ranks.select(
+        F.col("node").alias("host"),
+        F.col("pagerank").alias("rank"),
+        bucket.alias("auth_bucket"),
     )
 
 

@@ -95,6 +95,22 @@ class CrawlConfig:
     # exactly like the reference. Default keeps the documented deviation
     # (global union seen-set; SURVEY §1.4).
     strict_refresh_replace: bool = False
+    # G4+: link-authority frontier priority (VERDICT-r4 #2 — PageRank's own
+    # motivation: at 10^10 URLs link authority decides which hosts deserve
+    # fetch budget; the reference's priority is selector rank only,
+    # taz.py:188-206). When on, a host_rank table is refreshed from the
+    # OBSERVED host graph every authority_refresh_every rounds (write via
+    # merge_delta ∝ ranked hosts) and pop order becomes (selector rank,
+    # pagerank bucket, seq) — which shifts budget toward high-authority
+    # hosts whenever round_budget caps the per-round batch. Off by default:
+    # the flag-off pop is bit-identical to reference parity (o4 oracle).
+    authority_priority: bool = False
+    authority_refresh_every: int = 2
+    authority_iterations: int = 3
+    # global cap on rows popped per round (None = uncapped). Exact top-k by
+    # the pop order via TakeOrderedAndProject — with authority_priority this
+    # is the lever that reallocates fetch budget across hosts.
+    round_budget: int | None = None
     # X4 spaCy-shaped enrichment: a Tagger object (operators/enrichment.py)
     # routes articles through the mapInPandas enrich_stage (per-worker model
     # cache, chunk packing, mutation-aware hash recompute). None keeps the
@@ -645,7 +661,31 @@ def run_crawl(
         id_highwater = store.read(spark, "articles").agg(F.max("_id")).first()[0] or 0
     for rnd in range(cfg.max_rounds):
         frontier = store.read(spark, "frontier")
-        batch = FR.pop_batch(frontier, cfg.per_host_budget).cache()
+        authority = None
+        if cfg.authority_priority:
+            # refresh link-authority ranks from the observed host graph on
+            # the configured cadence (and on first use); host_rank commits
+            # through the same keyed-delta path as every other table —
+            # write ∝ ranked hosts, never a frontier-sized rewrite
+            if (
+                rnd % max(cfg.authority_refresh_every, 1) == 0
+                or not store.exists("host_rank")
+            ):
+                ranks = FR.authority_from_frontier(
+                    frontier, iterations=cfg.authority_iterations
+                )
+                if ranks is not None:
+                    if store.exists("host_rank"):
+                        store.merge_delta("host_rank", ranks, keys=["host"])
+                    else:
+                        store.append("host_rank", ranks)
+                    runlog.info("driver", "host_rank_refreshed", round_no=rnd)
+            if store.exists("host_rank"):
+                authority = store.read(spark, "host_rank")
+        batch = FR.pop_batch(
+            frontier, cfg.per_host_budget,
+            authority=authority, round_budget=cfg.round_budget,
+        ).cache()
         if batch.isEmpty():
             batch.unpersist()
             break

@@ -491,3 +491,88 @@ def test_crawl_e2e_oracle_literals_current(fixture_data):
             g["url"], g["teaser"], g["autor"], g["category"],
             g["content_hash"], g["domain"],
         ], (g["_id"], vals)
+
+
+def _authority_fixture():
+    """Two domains; a.example's listing links two cold.example articles then
+    two hub.example articles; b.example's listing links two more hub.example
+    articles. Observed host graph: a→cold, a→hub, b→hub — hub has twice
+    cold's in-links and must outrank it."""
+    listings = {
+        "a.example": (
+            '<a class="teaser-link" href="http://cold.example/c1">Kalt 1</a>'
+            '<a class="teaser-link" href="http://cold.example/c2">Kalt 2</a>'
+            '<a class="teaser-link" href="http://hub.example/a1">Hub A1</a>'
+            '<a class="teaser-link" href="http://hub.example/a2">Hub A2</a>'
+        ),
+        "b.example": (
+            '<a class="teaser-link" href="http://hub.example/b1">Hub B1</a>'
+            '<a class="teaser-link" href="http://hub.example/b2">Hub B2</a>'
+        ),
+    }
+    pages = {}
+    for host, body in listings.items():
+        pages[f"https://{host}/"] = (200, f"<html><body>{body}</body></html>")
+    for u in ("c1", "c2"):
+        pages[f"http://cold.example/{u}"] = (200, f"<p>Kalter Inhalt {u} der die.</p>")
+    for u in ("a1", "a2", "b1", "b2"):
+        pages[f"http://hub.example/{u}"] = (200, f"<p>Hub Inhalt {u} und das.</p>")
+    seeds = [
+        {"domain": "da", "base_url": "https://a.example/", "host": "a.example",
+         "collection": "ca"},
+        {"domain": "db", "base_url": "https://b.example/", "host": "b.example",
+         "collection": "cb"},
+    ]
+    return seeds, pages
+
+
+def _run_budgeted(spark, tmp_path, name, authority_priority):
+    seeds, pages = _authority_fixture()
+    store = SnapshotStore(str(tmp_path / name))
+    seeds_df = spark.createDataFrame(
+        [(s["domain"], s["base_url"], s["host"], s["collection"]) for s in seeds],
+        ["domain", "base_url", "host", "collection"],
+    )
+    cfg = CrawlConfig(
+        n_buckets=4, max_rounds=2, parsed_ts=PARSED_TS, extract_images=False,
+        round_budget=2, authority_priority=authority_priority,
+    )
+    run_crawl(spark, store, seeds_df, table_fetcher(pages, {}), cfg=cfg)
+    fetched = sorted(
+        r["url"]
+        for r in store.read(spark, "frontier")
+        .where("state = 'fetched' and kind = 'article'")
+        .collect()
+    )
+    return store, fetched
+
+
+def test_authority_priority_shifts_budget_toward_high_pagerank_hosts(
+    spark, tmp_path
+):
+    """VERDICT-r4 #2: with authority_priority on and a per-round budget, the
+    round-1 article budget goes ENTIRELY to the high-PageRank host (hub has
+    2 in-linking domains, cold has 1), where the flag-off pop (selector
+    rank, seq) splits it across hosts. Ordering stays deterministic: a
+    repeat run pops the identical set."""
+    store, with_auth = _run_budgeted(spark, tmp_path, "auth", True)
+    # budget 2, order (priority=0, auth_bucket, seq, url):
+    # hub rows (bucket low) fill the whole budget, seq-first within hub
+    assert with_auth == ["http://hub.example/b1", "http://hub.example/b2"]
+
+    # the observed host graph ranked hub above cold
+    ranks = {
+        r["host"]: (r["rank"], r["auth_bucket"])
+        for r in store.read(spark, "host_rank").collect()
+    }
+    assert ranks["hub.example"][0] > ranks["cold.example"][0]
+    assert ranks["hub.example"][1] < ranks["cold.example"][1]
+
+    # flag-off control: same budget splits across hosts by (priority, seq,
+    # url) — one cold + one hub (the two seq-0 anchors)
+    _, plain = _run_budgeted(spark, tmp_path, "plain", False)
+    assert plain == ["http://cold.example/c1", "http://hub.example/b1"]
+
+    # determinism: identical rerun → identical pop set
+    _, again = _run_budgeted(spark, tmp_path, "auth2", True)
+    assert again == with_auth
