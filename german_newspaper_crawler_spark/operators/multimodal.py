@@ -11,10 +11,12 @@ has no media libraries, so:
   multichannel, WAVE_FORMAT_EXTENSIBLE unwrapped); compressed codecs
   (ADPCM/MP3/...) raise ``NotImplementedError`` listing the library a
   deployment would plug in (librosa/soundfile),
-* **video frame-sample** has REAL Spark plumbing (schemas, batch shapes,
-  partitioning) with the codec boundary stubbed (ffmpeg/PyAV in
-  deployment). Every call site crosses one narrow ``decode_*`` function,
-  so swapping in the real codec touches nothing else.
+* **video** decode is REAL for YUV4MPEG2 (pure-numpy Y4M parser: C444 +
+  C420 chroma with BT.601 limited-range conversion); compressed
+  containers (mp4/h264/...) raise ``NotImplementedError`` listing the
+  library a deployment would plug in (ffmpeg/PyAV). Every call site
+  crosses one narrow ``decode_*`` function, so swapping in the real
+  codec touches nothing else.
 
 Fake fixture formats (deterministic, for plumbing tests):
   audio: b"FAKA" + int32 sample_rate + int16 PCM samples
@@ -136,9 +138,111 @@ def encode_fake_video(frames: np.ndarray) -> bytes:
     return FAKE_VIDEO_MAGIC + struct.pack(">III", n, w, h) + frames.astype(np.uint8).tobytes()
 
 
+# BT.601 limited-range RGB↔YCbCr (the Y4M convention): Y ∈ [16, 235],
+# Cb/Cr ∈ [16, 240]. Forward coefficients are Kr=0.299/Kb=0.114 scaled by
+# 219/255 (luma) and 224/255 (chroma); the inverse matrix is the standard
+# 1.164/1.596/2.017 set.
+
+def encode_y4m(
+    frames: np.ndarray, chroma: str = "444", fps: tuple[int, int] = (25, 1)
+) -> bytes:
+    """Minimal YUV4MPEG2 writer (the uncompressed interchange container
+    ffmpeg/mjpegtools emit): ``C444`` keeps full chroma (round-trip lossy
+    only through the ±1 color-matrix rounding); ``C420`` 2×2-averages the
+    chroma planes (C420jpeg siting) — genuinely lossy, the fixture for the
+    PSNR invariant. The real counterpart of :func:`encode_fake_video`."""
+    n, h, w, _ = frames.shape
+    if chroma == "420" and (w % 2 or h % 2):
+        raise ValueError("C420 requires even frame dimensions")
+    tag = "444" if chroma == "444" else "420jpeg"
+    out = [
+        f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 C{tag}\n".encode("ascii")
+    ]
+    for f in frames.astype(np.float64):
+        r, g, b = f[..., 0], f[..., 1], f[..., 2]
+        y = 16.0 + 0.256788 * r + 0.504129 * g + 0.097906 * b
+        cb = 128.0 - 0.148223 * r - 0.290993 * g + 0.439216 * b
+        cr = 128.0 + 0.439216 * r - 0.367788 * g - 0.071427 * b
+        if chroma == "420":
+            cb = cb.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+            cr = cr.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+        planes = b"".join(
+            np.clip(np.round(p), 0, 255).astype(np.uint8).tobytes()
+            for p in (y, cb, cr)
+        )
+        out.append(b"FRAME\n" + planes)
+    return b"".join(out)
+
+
+def _decode_y4m(data: bytes) -> np.ndarray:
+    """YUV4MPEG2 decoder, pure numpy → (n_frames, h, w, 3) uint8 RGB.
+    Supports C444 and the C420 family (jpeg/mpeg2/paldv siting decoded with
+    nearest-neighbor chroma upsampling); other samplings raise
+    ``NotImplementedError`` (ffmpeg in deployment)."""
+    nl = data.index(b"\n")
+    params = data[:nl].decode("ascii", "replace").split(" ")
+    if params[0] != "YUV4MPEG2":
+        raise ValueError("not a YUV4MPEG2 stream")
+    w = h = None
+    chroma = "420jpeg"  # the Y4M spec default when C is absent
+    for p in params[1:]:
+        if p.startswith("W"):
+            w = int(p[1:])
+        elif p.startswith("H"):
+            h = int(p[1:])
+        elif p.startswith("C"):
+            chroma = p[1:]
+    if not w or not h:
+        raise ValueError("Y4M header missing W/H")
+    if chroma.startswith("420"):
+        uv_w, uv_h = w // 2, h // 2
+    elif chroma == "444":
+        uv_w, uv_h = w, h
+    else:
+        raise NotImplementedError(
+            f"Y4M chroma sampling C{chroma} requires ffmpeg (not in container)"
+        )
+    frame_size = w * h + 2 * uv_w * uv_h
+    frames, pos = [], nl + 1
+    while pos < len(data):
+        marker_end = data.index(b"\n", pos)
+        if data[pos : pos + 5] != b"FRAME":
+            raise ValueError("Y4M stream missing FRAME marker")
+        pos = marker_end + 1
+        raw = np.frombuffer(data[pos : pos + frame_size], np.uint8)
+        if raw.size < frame_size:
+            raise ValueError("truncated Y4M frame")
+        pos += frame_size
+        y = raw[: w * h].reshape(h, w).astype(np.float64)
+        cb = raw[w * h : w * h + uv_w * uv_h].reshape(uv_h, uv_w).astype(np.float64)
+        cr = raw[w * h + uv_w * uv_h :].reshape(uv_h, uv_w).astype(np.float64)
+        if chroma.startswith("420"):
+            cb = cb.repeat(2, axis=0).repeat(2, axis=1)
+            cr = cr.repeat(2, axis=0).repeat(2, axis=1)
+        yp = 1.164384 * (y - 16.0)
+        cb -= 128.0
+        cr -= 128.0
+        rgb = np.stack(
+            [
+                yp + 1.596027 * cr,
+                yp - 0.391762 * cb - 0.812968 * cr,
+                yp + 2.017232 * cb,
+            ],
+            axis=-1,
+        )
+        frames.append(np.clip(np.round(rgb), 0, 255).astype(np.uint8))
+    if not frames:
+        raise ValueError("Y4M stream contains no frames")
+    return np.stack(frames)
+
+
 def decode_video(data: bytes) -> np.ndarray:
-    """→ (n_frames, h, w, 3) uint8. STUB: real deployments plug ffmpeg/
-    PyAV here; only the fixture format decodes in-repo."""
+    """→ (n_frames, h, w, 3) uint8. REAL for YUV4MPEG2 (:func:`_decode_y4m`
+    — C444 + C420, pure numpy) and the in-repo fixture format; compressed
+    containers (mp4/h264/...) raise ``NotImplementedError`` — that call
+    site is where a deployment plugs ffmpeg/PyAV."""
+    if data[:9] == b"YUV4MPEG2":
+        return _decode_y4m(data)
     if data[:4] == FAKE_VIDEO_MAGIC:
         n, w, h = struct.unpack(">III", data[4:16])
         return np.frombuffer(data[16:], np.uint8).reshape(n, h, w, 3)
@@ -151,7 +255,8 @@ _MAGIC = [
     (b"\x89PNG", "image/png"), (b"FJPG", "image/fake-jpeg"),
     (b"\xff\xd8\xff", "image/jpeg"), (b"GIF8", "image/gif"),
     (b"FAKA", "audio/fake-pcm"), (b"RIFF", "audio/wav"),
-    (b"FAKV", "video/fake-raw"), (b"\x00\x00\x00", "video/mp4-ish"),
+    (b"FAKV", "video/fake-raw"), (b"YUV4MPEG2", "video/y4m"),
+    (b"\x00\x00\x00", "video/mp4-ish"),
     (b"%PDF", "application/pdf"),
 ]
 

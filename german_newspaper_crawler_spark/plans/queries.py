@@ -1756,7 +1756,12 @@ def _media_df(spark):
         rows.append((f"aud-{i}", bytearray(wav)))
     for i in range(4):
         frames = np.stack([make_image(500 + i * 10 + f, size=32) for f in range(6)])
-        rows.append((f"vid-{i}", bytearray(MM.encode_fake_video(frames))))
+        # real YUV4MPEG2 containers — even ids full-chroma C444, odd ids
+        # subsampled C420 (both decoded by the in-repo Y4M parser)
+        rows.append((
+            f"vid-{i}",
+            bytearray(MM.encode_y4m(frames, chroma="444" if i % 2 == 0 else "420")),
+        ))
     return spark.createDataFrame(rows, ["media_id", "bytes"])
 
 
@@ -1799,10 +1804,12 @@ def mm_audio_features(spark, sf_dir):
 @register(
     "mm_video_frame_sample",
     "Multimodal video frame sampling (1 video row → N frame rows with PNG + "
-    "pHash, feeding the image dedup path); container-format codec stubbed "
-    "(ffmpeg/PyAV in deployment) — the fixture format decode, frame "
-    "sampling and DCT pHash are real. Oracle = precomputed literals from an "
-    "independent python-side recomputation (encode_fake_video → "
+    "pHash, feeding the image dedup path) over REAL YUV4MPEG2 containers — "
+    "the in-repo pure-numpy Y4M decoder (operators/multimodal.py::"
+    "_decode_y4m, C444 + C420 with BT.601 limited-range conversion) "
+    "decodes actual pixel data; compressed containers (mp4/h264) remain "
+    "the ffmpeg/PyAV deployment boundary. Oracle = precomputed literals "
+    "from an independent python-side recomputation (encode_y4m → "
     "decode_video → phash64 per sampled frame); drift guard: "
     "tests/test_multimodal.py::test_g5_and_video_oracle_literals_current.",
     oracle="""

@@ -262,7 +262,11 @@ def test_g5_and_video_oracle_literals_current():
         frames = np.stack(
             [make_image(500 + i * 10 + f, size=32) for f in range(6)]
         )
-        dec = MM.decode_video(MM.encode_fake_video(frames))
+        # r5: the fixture is a REAL YUV4MPEG2 container (C444 even ids,
+        # C420 odd) — literals recompute from actually-decoded pixels
+        dec = MM.decode_video(
+            MM.encode_y4m(frames, chroma="444" if i % 2 == 0 else "420")
+        )
         for fi in range(0, len(dec), 2):
             mm_expect.append((f"vid-{i}", fi, phash64(dec[fi])))
     lits = re.findall(
@@ -271,3 +275,57 @@ def test_g5_and_video_oracle_literals_current():
     )
     got = [(m, int(fi), int(p)) for m, fi, p in lits]
     assert got == mm_expect
+
+
+def test_y4m_decode_roundtrip_and_psnr_invariants():
+    """Real in-repo YUV4MPEG2 codec (VERDICT-r4 #5, the WAV graduation
+    pattern): C444 round-trips at PSNR >= 40 dB (only color-matrix
+    rounding); C420 keeps luma near-lossless (>= 40 dB on the Y-dominant
+    signal) while genuinely destroying chroma detail on a noisy fixture —
+    the lossy-format invariant band. Byte-level determinism and frame
+    geometry asserted; unsupported samplings name the deployment library."""
+    smooth = np.stack([make_image(700 + f, size=32) for f in range(5)])
+    noisy = np.stack([make_image(800 + f, size=32, noise=40) for f in range(4)])
+
+    def min_psnr(a, b):
+        return min(psnr(x, y) for x, y in zip(a, b))
+
+    def luma(f):
+        return (
+            0.299 * f[..., 0].astype(np.float64)
+            + 0.587 * f[..., 1]
+            + 0.114 * f[..., 2]
+        )
+
+    # C444: near-lossless for any content
+    for fr in (smooth, noisy):
+        dec = MM.decode_video(MM.encode_y4m(fr, chroma="444"))
+        assert dec.shape == fr.shape and dec.dtype == np.uint8
+        assert min_psnr(fr, dec) >= 40.0
+
+    # C420: luma plane untouched by the subsampling -> luma PSNR stays
+    # high even where full-RGB PSNR drops (chroma averaged 2x2)
+    dec420 = MM.decode_video(MM.encode_y4m(noisy, chroma="420"))
+    rgb_psnr = min_psnr(noisy, dec420)
+    luma_psnr = min(
+        psnr(luma(a).round().clip(0, 255).astype(np.uint8),
+             luma(b).round().clip(0, 255).astype(np.uint8))
+        for a, b in zip(noisy, dec420)
+    )
+    assert 15.0 <= rgb_psnr < 35.0, rgb_psnr  # genuinely lossy
+    assert luma_psnr >= 40.0, luma_psnr
+
+    # smooth 8x8-block fixtures align with the 2x2 chroma grid -> C420 is
+    # near-lossless there (the fixture property the oracle literals rely on)
+    dec420s = MM.decode_video(MM.encode_y4m(smooth, chroma="420"))
+    assert min_psnr(smooth, dec420s) >= 40.0
+
+    # determinism + sniff + error paths
+    assert MM.encode_y4m(noisy, chroma="420") == MM.encode_y4m(noisy, chroma="420")
+    assert MM.encode_y4m(smooth)[:9] == b"YUV4MPEG2"
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        MM.decode_video(b"YUV4MPEG2 W4 H4 F25:1 Ip A1:1 C422\nFRAME\n" + b"\x00" * 32)
+    with pytest.raises(ValueError):
+        MM.decode_video(b"YUV4MPEG2 W32 H32 F25:1 C444\nFRAME\n" + b"\x00" * 10)
+    with pytest.raises(ValueError):
+        MM.encode_y4m(np.zeros((1, 3, 3, 3), np.uint8), chroma="420")
