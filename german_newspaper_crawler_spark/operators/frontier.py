@@ -153,16 +153,27 @@ def anchors_to_frontier(
     )
 
 
+def authority_bucket(rank_col) -> F.Column:
+    """log2-quantized authority bucket from a 6dp-rounded PageRank:
+    ``bucket = 20 - floor(log2(round(rank · 10^6)))`` with the floor-log2
+    computed as integer bin-length — EXACT integer ops (no float log, so
+    no engine-dependent last-ulp flips at power-of-two boundaries; the
+    same trick the HLL rho uses). rank 1.0 → bucket 0, 0.5 → 1, ...,
+    1e-6 → 19; monotone decreasing in rank, lower = more authority. A
+    pure per-row function — no global window over hosts — so bucketing
+    scales to 10^7 hosts."""
+    m = F.greatest(F.round(rank_col * 1e6).cast("long"), F.lit(1))
+    return (F.lit(20) - F.length(F.bin(m))).cast("int")
+
+
 def authority_from_frontier(
     frontier: DataFrame, iterations: int = 3
 ) -> DataFrame:
     """(host, rank, auth_bucket) from the OBSERVED host graph: every
     frontier row witnesses a discovery edge ``host(base_url) → host(url)``
     (the page's domain linked to the row's host). PageRank over the
-    distinct edge set, then log2-quantized into buckets — ``auth_bucket =
-    min(30, floor(-log2(rank)))`` — a pure per-row function of the rank
-    (no global window over hosts), so bucketing scales to 10^7 hosts and
-    is deterministic. Lower bucket = more authority.
+    distinct edge set, then log2-quantized via :func:`authority_bucket`.
+    Lower bucket = more authority.
 
     Returns ``None`` when the frontier has no cross-host edges yet (a
     fresh seed-only frontier); callers skip the refresh then.
@@ -182,14 +193,10 @@ def authority_from_frontier(
     if edges.isEmpty():
         return None
     ranks = pagerank(edges, "src", "dst", iterations=iterations)
-    bucket = F.least(
-        F.lit(30),
-        F.floor(-F.log2(F.greatest(F.col("pagerank"), F.lit(1e-9)))),
-    ).cast("int")
     return ranks.select(
         F.col("node").alias("host"),
         F.col("pagerank").alias("rank"),
-        bucket.alias("auth_bucket"),
+        authority_bucket(F.col("pagerank")).alias("auth_bucket"),
     )
 
 

@@ -389,8 +389,9 @@ def sample_video_frames(df: DataFrame, every_n: int, id_col: str, bytes_col: str
             for mid, b in zip(pdf[id_col], pdf[bytes_col]):
                 try:
                     frames = decode_video(bytes(b))
-                except NotImplementedError:
-                    continue
+                except (NotImplementedError, ValueError):
+                    continue  # unsupported codec / corrupt container —
+                    # quarantine path at scale, like the audio leg
                 for i in range(0, len(frames), every_n):
                     rows.append((mid, i, encode_png(frames[i]), phash64(frames[i])))
             yield pd.DataFrame(rows, columns=[f.name for f in FRAMES.fields])

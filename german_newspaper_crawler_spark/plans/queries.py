@@ -2719,6 +2719,14 @@ def _pagerank_oracle_sql(iterations: int = 3) -> str:
     )
 
 
+def _pagerank_oracle_ctes(iterations: int = 3) -> tuple[str, str]:
+    """(CTE chain, final-relation name) form of :func:`_pagerank_oracle_sql`
+    for oracles that consume the ranks downstream (o4x authority pop)."""
+    full = _pagerank_oracle_sql(iterations)
+    ctes = full[: full.rindex("SELECT node,")].rstrip().rstrip(",")
+    return ctes, f"r{iterations}"
+
+
 @register(
     "sketch_countmin_user_counts",
     "Count-Min sketch (Cormode & Muthukrishnan 2005) point-count "
@@ -2837,6 +2845,123 @@ def sketch_hll_distinct_users(spark, sf_dir):
     )
 
 
+@register(
+    "text_bm25_scores",
+    "Okapi BM25 lexical relevance (Robertson & Walker 1994, the Lucene "
+    "default) of every document against a fixed query-term set — the "
+    "targeted-corpus-selection primitive (DoReMi-style domain mining). "
+    "Exact integer tf/df/N/dl; the per-doc sum is a SEQUENTIAL fold in "
+    "term order (array_sort → aggregate ≡ DuckDB list_sum(list ORDER BY "
+    "term)) so the float result is partitioning- and engine-exact at 6dp.",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id,
+             regexp_split_to_array(TRIM(lower(text)), '\\s+') AS tk
+      FROM documents WHERE length(TRIM(text)) >= 1),
+    lens AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM tk),
+    sc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, AVG(dl) AS avgdl FROM lens),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(tk) AS term FROM tk)
+      WHERE term IN ('spark', 'join', 'window', 'vector')
+      GROUP BY 1, 2),
+    dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    w AS (
+      SELECT tf.doc_id, tf.term,
+             LN(1.0 + (sc.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * (tf.tf * (1.2 + 1.0)
+                  / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * lens.dl / sc.avgdl)))
+               AS w
+      FROM tf JOIN dfreq USING (term) JOIN lens USING (doc_id) CROSS JOIN sc)
+    SELECT doc_id,
+           ROUND(list_sum(list(w ORDER BY term)), 6) AS bm25,
+           CAST(COUNT(*) AS BIGINT) AS n_matched
+    FROM w GROUP BY doc_id
+    """,
+)
+def text_bm25_scores(spark, sf_dir):
+    from german_newspaper_crawler_spark.operators.ranking import bm25_scores
+
+    return bm25_scores(
+        t(spark, sf_dir, "documents"), "doc_id", "text",
+        query_terms=["spark", "join", "window", "vector"],
+    )
+
+
+def _authority_pop_oracle_sql() -> str:
+    ctes, final = _pagerank_oracle_ctes(3)
+    # exact integer bucket — same bin-length trick as the Spark side
+    # (frontier.py::authority_bucket), no float log2 anywhere
+    return f"""{ctes},
+    auth AS (
+      SELECT 'h' || CAST(node AS VARCHAR) AS host,
+             20 - length(bin(GREATEST(CAST(ROUND(rank * 1000000) AS BIGINT), 1)))
+               AS ab
+      FROM {final}),
+    fr AS (
+      SELECT 'https://h' || CAST(doc_id % 50 AS VARCHAR) || '.example/'
+               || CAST(doc_id AS VARCHAR) AS url,
+             'h' || CAST(doc_id % 50 AS VARCHAR) AS host,
+             CAST(doc_id % 2 AS INT) AS priority,
+             CAST(doc_id AS BIGINT) AS seq
+      FROM documents WHERE doc_id < 600),
+    j AS (
+      SELECT fr.*, COALESCE(auth.ab, 2147483647) AS ab
+      FROM fr LEFT JOIN auth USING (host)),
+    rk AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY host ORDER BY priority, ab, seq, url) AS rk
+      FROM j)
+    SELECT url, host, priority, seq FROM rk WHERE rk <= 5
+    ORDER BY priority, ab, seq, url LIMIT 40
+    """
+
+
+@register(
+    "o4x_authority_pop",
+    "Graft O4 extension — the authority-priority frontier pop "
+    "(VERDICT-r4 #2 wiring, CrawlConfig(authority_priority=True) + "
+    "round_budget): PageRank over the host graph → exact integer log2 "
+    "bucket (bin-length, no float log) → broadcast join onto the pending "
+    "set → salted two-phase per-host top-k → global exact top-k "
+    "(TakeOrderedAndProject) by (priority, auth_bucket, seq, url). The "
+    "oracle replays the identical selection relationally: budget fills "
+    "from high-authority hosts first within each selector rank.",
+    oracle=_authority_pop_oracle_sql(),
+)
+def o4x_authority_pop(spark, sf_dir):
+    from german_newspaper_crawler_spark.operators.frontier import (
+        authority_bucket, pop_batch,
+    )
+    from german_newspaper_crawler_spark.operators.sketches import pagerank
+
+    d = t(spark, sf_dir, "documents")
+    h = hash64(F.col("doc_id").cast("string")) % 50
+    edges = d.select(
+        (F.col("doc_id") % 50).alias("src"), h.alias("dst")
+    ).where(F.col("src") != F.col("dst"))
+    auth = pagerank(edges, "src", "dst", iterations=3).select(
+        F.concat(F.lit("h"), F.col("node").cast("string")).alias("host"),
+        authority_bucket(F.col("pagerank")).alias("auth_bucket"),
+    )
+    host = F.concat(F.lit("h"), (F.col("doc_id") % 50).cast("string"))
+    frontier = d.where(F.col("doc_id") < 600).select(
+        F.concat(
+            F.lit("https://"), host, F.lit(".example/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        host.alias("host"),
+        (F.col("doc_id") % 2).cast("int").alias("priority"),
+        F.col("doc_id").cast("long").alias("seq"),
+        F.lit("pending").alias("state"),
+    )
+    popped = pop_batch(
+        frontier, per_host_budget=5, skew_salt=4,
+        authority=auth, round_budget=40,
+    )
+    return popped.select("url", "host", "priority", "seq")
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver grades a bounded prefix of ``queries()``
 # (observed: first 50 entries), so registration order decides which entries
@@ -2872,6 +2997,9 @@ _ROTATED_TO_TAIL = [
     "text_langid",
     "text_quality_score",
     "text_fingerprint_rolling",
+    # two more r4-green slots freed for the new r5 entries (o4x, bm25)
+    "text_token_count_bpe",
+    "dedup_minhash_lsh",
 ]
 
 _PROMOTED_TO_FRONT = [
@@ -2901,6 +3029,9 @@ _PROMOTED_TO_FRONT = [
     "graph_pagerank_hosts",
     "curation_pipeline",
     "dedup_components_keepers",
+    # new r5 operators — need their first driver rows
+    "o4x_authority_pop",
+    "text_bm25_scores",
 ]
 
 

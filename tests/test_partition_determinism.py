@@ -55,6 +55,11 @@ RISKY = [
     "graph_pagerank_hosts",
     # r4: count-min — exact integer counters, gated anyway
     "sketch_countmin_user_counts",
+    # r5: BM25 — per-doc float sum pinned by a sequential term-order fold
+    "text_bm25_scores",
+    # r5: authority pop — window ties + salted two-phase + global top-k
+    # must be a total order (url tiebreak), partition-independent
+    "o4x_authority_pop",
 ]
 
 
