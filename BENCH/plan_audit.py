@@ -119,6 +119,21 @@ NOTES = {
         "labels-sized broadcast array table → per-row sequential zip_with "
         "cosine. Corpus-linear; no pairwise join anywhere."
     ),
+    "o4x_authority_pop": (
+        "Authority pop (r5): PageRank ranks → exact integer log2 bucket → "
+        "BROADCAST join onto the pending set → salted (host, salt) "
+        "window keeps ≤ budget per cell (fattest partition ÷ salt) → "
+        "exact per-host window over survivors → global top-k as "
+        "TakeOrderedAndProject (per-partition partial top-k, ONE merge — "
+        "never a full sort). The flag-off path is untouched (o4 oracle)."
+    ),
+    "text_bm25_scores": (
+        "BM25 (r5): query-term filter BEFORE the explode shuffle (per-"
+        "(doc, term) counts over |Q| terms, not the vocabulary), df = "
+        "bounded groupBy (≤ |Q| rows, broadcast back), N/avgdl = 1-row "
+        "broadcast scalar (whitelisted), final per-doc fold shuffles on "
+        "uniform doc ids. Corpus-linear scan, no UDF."
+    ),
 }
 
 
