@@ -22,6 +22,11 @@ PLAN_EXCEPTIONS = {
                                 # the right plan for scalar denominators
     "graph_pagerank_hosts",     # same 1-row broadcast scalar per iteration
                                 # (the dangling-mass aggregate)
+    "o4x_authority_pop",        # embeds pagerank (same 1-row dangling
+                                # scalar); BM25-style scalar joins aside,
+                                # every data-sized join is key-based
+    "text_bm25_scores",         # crossJoin with the 1-ROW (N, avgdl)
+                                # broadcast aggregate — scalar denominators
 }
 
 
