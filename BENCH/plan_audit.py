@@ -134,6 +134,23 @@ NOTES = {
         "broadcast scalar (whitelisted), final per-doc fold shuffles on "
         "uniform doc ids. Corpus-linear scan, no UDF."
     ),
+    "text_tfidf_top_terms": (
+        "TF-IDF top-k (r5): whole-vocabulary explode (shuffle ∝ tokens — "
+        "the unavoidable corpus-df cost) but every aggregate partial: tf "
+        "groupBy (doc, term), df groupBy term with min_df hapax prune, N "
+        "= 1-row broadcast scalar (whitelisted). Top-k = row_number "
+        "window partitioned on uniform doc ids (state ∝ per-doc vocab), "
+        "never a global sort; 6dp round BEFORE ranking makes the order "
+        "total and engine-exact."
+    ),
+    "sketch_quantile_doclen": (
+        "Histogram quantile sketch (r5): ONE partial-aggregatable groupBy "
+        "(shuffle keys ∝ groups × n_bins — row-count independent, the "
+        "quantile analog of the HLL/CM bounded-state posture), cum/total "
+        "windows over ≤ n_bins rows per group, quantile list exploded "
+        "from an array literal (NO join). Exact bigint counts make the "
+        "approximate estimate engine-exact."
+    ),
 }
 
 

@@ -8,9 +8,11 @@ has no media libraries, so:
   resize — the same code the crawl uses),
 * **audio** decode is REAL for RIFF/WAVE PCM (pure-numpy chunk parser:
   8/16/24/32-bit integer PCM + 32-bit IEEE float, mono-mixdown for
-  multichannel, WAVE_FORMAT_EXTENSIBLE unwrapped); compressed codecs
-  (ADPCM/MP3/...) raise ``NotImplementedError`` listing the library a
-  deployment would plug in (librosa/soundfile),
+  multichannel, WAVE_FORMAT_EXTENSIBLE unwrapped) and for G.711
+  µ-law/A-law telephony WAV (format codes 7/6; CCITT expand/compress
+  pair, vectorized); other compressed codecs (ADPCM/MP3/...) raise
+  ``NotImplementedError`` listing the library a deployment would plug
+  in (librosa/soundfile),
 * **video** decode is REAL for YUV4MPEG2 (pure-numpy Y4M parser: C444 +
   C420 chroma with BT.601 limited-range conversion); compressed
   containers (mp4/h264/...) raise ``NotImplementedError`` listing the
@@ -65,6 +67,71 @@ def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def g711_compress(samples: np.ndarray, law: str) -> np.ndarray:
+    """ITU-T G.711 µ-law / A-law compression (the CCITT reference
+    ``linear2ulaw``/``linear2alaw``, vectorized). ``samples``: int16 linear
+    → uint8 codewords. Fixture/writer counterpart of :func:`_g711_expand`."""
+    x = np.asarray(samples).astype(np.int32)
+    if law == "ulaw":
+        sign = np.where(x < 0, 0x80, 0)
+        mag = np.minimum(np.abs(x), 32635) + 0x84
+        seg = np.searchsorted(
+            np.array([0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF, 0x1FFF, 0x3FFF]), mag
+        )
+        uval = sign | (seg << 4) | ((mag >> (seg + 3)) & 0x0F)
+        out = (~uval) & 0xFF
+    elif law == "alaw":
+        pcm = x >> 3  # 13-bit magnitude domain
+        mask = np.where(pcm >= 0, 0xD5, 0x55)
+        pcm = np.where(pcm >= 0, pcm, -pcm - 1)
+        seg = np.searchsorted(
+            np.array([0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF]), pcm
+        )
+        shift = np.where(seg < 2, 1, seg)
+        out = ((seg << 4) | ((pcm >> shift) & 0x0F)) ^ mask
+    else:
+        raise ValueError(f"unknown companding law {law!r}")
+    return out.astype(np.uint8)
+
+
+def encode_wav_g711(codewords: np.ndarray, sample_rate: int, law: str) -> bytes:
+    """RIFF/WAVE writer for raw G.711 codewords (format code 6 = A-law,
+    7 = µ-law, 8 bits/sample, mono)."""
+    cw = np.asarray(codewords).astype("u1")
+    code = {"alaw": 6, "ulaw": 7}[law]
+    fmt = struct.pack("<HHIIHH", code, 1, sample_rate, sample_rate, 1, 8)
+    data = cw.tobytes()
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+        + (b"\x00" if len(data) & 1 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _g711_expand(b: np.ndarray, law: str) -> np.ndarray:
+    """ITU-T G.711 µ-law / A-law expansion (the CCITT reference
+    ``ulaw2linear``/``alaw2linear``, vectorized). ``b``: uint8 codewords →
+    float32 in [-1, 1) on the int16 scale (µ-law peaks at ±32124/32768,
+    A-law at ±32256/32768 — the codec's true dynamic range)."""
+    b = b.astype(np.int32)
+    if law == "ulaw":
+        u = (~b) & 0xFF
+        t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+        lin = np.where(u & 0x80, 0x84 - t, t - 0x84)
+    elif law == "alaw":
+        a = b ^ 0x55
+        seg = (a & 0x70) >> 4
+        base = (a & 0x0F) << 4
+        t = np.where(seg == 0, base + 8, (base + 0x108) << np.maximum(seg - 1, 0))
+        # G.711 A-law: sign bit SET (after the 0x55 toggle) means POSITIVE
+        lin = np.where(a & 0x80, t, -t)
+    else:  # pragma: no cover - internal
+        raise ValueError(f"unknown companding law {law!r}")
+    return lin.astype(np.float32) / 32768.0
+
+
 def _decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     """RIFF/WAVE PCM decoder, pure numpy (spec: RIFF chunks are 16-bit-word
     aligned; WAVE_FORMAT_EXTENSIBLE carries the real format code in the
@@ -109,6 +176,10 @@ def _decode_wav(data: bytes) -> tuple[np.ndarray, int]:
             raise NotImplementedError(f"{bits}-bit integer PCM unsupported")
     elif audio_format == 3 and bits == 32:  # IEEE float
         x = np.frombuffer(raw[: len(raw) // 4 * 4], "<f4").astype(np.float32)
+    elif audio_format == 6 and bits == 8:  # G.711 A-law
+        x = _g711_expand(np.frombuffer(raw, "u1"), "alaw")
+    elif audio_format == 7 and bits == 8:  # G.711 µ-law
+        x = _g711_expand(np.frombuffer(raw, "u1"), "ulaw")
     else:
         raise NotImplementedError(
             f"WAV format code {audio_format} requires librosa/soundfile "
@@ -122,8 +193,9 @@ def _decode_wav(data: bytes) -> tuple[np.ndarray, int]:
 
 def decode_audio(data: bytes) -> tuple[np.ndarray, int]:
     """→ (float32 mono samples in [-1,1], sample_rate). REAL for RIFF/WAVE
-    PCM (:func:`_decode_wav`) and the in-repo fixture format; compressed
-    codecs raise ``NotImplementedError`` (librosa/soundfile in deployment)."""
+    PCM + G.711 µ-law/A-law (:func:`_decode_wav`) and the in-repo fixture
+    format; other compressed codecs raise ``NotImplementedError``
+    (librosa/soundfile in deployment)."""
     if data[:4] == b"RIFF":
         return _decode_wav(data)
     if data[:4] == FAKE_AUDIO_MAGIC:

@@ -1,5 +1,6 @@
 """Lexical relevance ranking — Okapi BM25 (Robertson & Walker 1994; the
-Lucene-default scoring function).
+Lucene-default scoring function) and per-document TF-IDF keyword
+extraction (Sparck Jones 1972; the sklearn smooth-idf variant).
 
 No reference analog (nearest: the anchor-text selection gates,
 taz.py:217-241) — this is the retrieval primitive a training-data pipeline
@@ -40,6 +41,8 @@ def bm25_scores(
     length against the corpus average via ``b``. All counts (tf, df, N,
     dl) are exact integers; the float expression is identical on the
     DuckDB oracle side and rounds 6dp (repo convention)."""
+    if not query_terms:
+        raise ValueError("bm25_scores requires a non-empty query_terms list")
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     docs = (
         df.select(F.col(id_col).alias("id"), toks.alias("tk"))
@@ -85,3 +88,87 @@ def bm25_scores(
         )
         .select(F.col("id").alias(id_col), "bm25", "n_matched")
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    min_df: int = 1,
+    cache_tf: bool = True,
+) -> DataFrame:
+    """(id, term, tfidf[6dp], rk) — the top-``k`` TF-IDF keywords of every
+    document (smooth sklearn-style weighting ``(1 + ln(tf)) * (ln((N+1) /
+    (df+1)) + 1)``), the per-document keyword-extraction primitive a
+    curation pipeline uses for topic tagging / domain mixing diagnostics.
+
+    Scale shape — unlike :func:`bm25_scores` this explodes the WHOLE
+    vocabulary (shuffle ∝ total tokens, the unavoidable cost of corpus-wide
+    df), but every aggregate is partial (map-side combine): tf groups on
+    (doc, term), df groups on term, N is the 1-row broadcast scalar. The
+    final top-k is a window ``row_number`` partitioned by doc id — uniform
+    key, state ∝ per-doc vocabulary, never a global sort.
+
+    Cross-engine float determinism: tf/df/N stay exact integers until one
+    product of two logs (identical IEEE expression in the DuckDB oracle),
+    rounded to 6dp BEFORE ranking so the window order (tfidf DESC, term
+    ASC) is total and engine-exact.
+
+    ``min_df`` drops corpus-hapax terms (df < min_df) before ranking — at
+    10^10 docs the df join's term-key skew lives in stopwords (high df,
+    harmless for the join since df is a 1-row-per-term aggregate), while
+    the hapax tail dominates cardinality; min_df prunes it early.
+
+    ``cache_tf`` persists the (doc, term, tf) frame: both the df branch
+    and the scoring join read it, and Catalyst prunes their columns
+    differently so the exchange is NOT reused — without the cache the
+    tokenize+explode shuffle runs twice. Release is GC-tied (the dedup.py
+    shingle-cache contract): callers deriving further frames must
+    ``carry_cache_release`` the result."""
+    if k < 1:
+        raise ValueError("tfidf_top_terms requires k >= 1")
+    from pyspark.sql import Window
+
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    docs = (
+        df.select(F.col(id_col).alias("id"), toks.alias("tk"))
+        .where(F.size("tk") >= 1)
+    )
+    scalars = docs.agg(F.count("*").cast("long").alias("n_docs"))
+    tf = (
+        docs.select("id", F.explode("tk").alias("term"))
+        .where(F.length("term") >= 1)
+        .groupBy("id", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    if cache_tf:
+        tf = tf.persist()
+    dfreq = (
+        tf.groupBy("term")
+        .agg(F.count("*").cast("long").alias("df"))
+        .where(F.col("df") >= int(min_df))
+    )
+    tfidf = F.round(
+        (F.lit(1.0) + F.log(F.col("tf")))
+        * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+        6,
+    )
+    win = Window.partitionBy("id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    out = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(scalars))
+        .withColumn("tfidf", tfidf)
+        .withColumn("rk", F.row_number().over(win).cast("long"))
+        .where(F.col("rk") <= int(k))
+        .select(F.col("id").alias(id_col), "term", "tfidf", "rk")
+    )
+    if cache_tf:
+        from german_newspaper_crawler_spark.operators.dedup import (
+            _release_cache_with,
+        )
+
+        out = _release_cache_with(out, tf)
+    return out

@@ -258,3 +258,82 @@ def countmin_estimate(
         F.col("est_count").cast("long").alias("est_count"),
         F.coalesce("exact_count", F.lit(0)).cast("long").alias("exact_count"),
     )
+
+
+def quantile_hist(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    lo: float = 0.0,
+    hi: float = 1000.0,
+    n_bins: int = 64,
+) -> DataFrame:
+    """Fixed-bin histogram quantile estimates per group — the quantile
+    sketch next to :func:`hll_distinct` (distincts) and
+    :func:`countmin_estimate` (frequencies): percentile estimation (doc
+    lengths, fetch latencies, image sizes) whose state is ``n_bins``
+    counters per group regardless of row count, vs an exact percentile's
+    full sort. Bins are fixed-width over ``[lo, hi]`` (outliers clamp to
+    the edge bins); estimate for quantile ``q`` interpolates linearly
+    inside the bin containing rank ``ceil(q·N)``.
+
+    Mergeable by construction (bin counts are sums), and unlike
+    ``percentile_approx`` (GK sketch, JVM-internal layout) every count is
+    an exact bigint: the estimate is a deterministic function of (lo, hi,
+    n_bins, data), so DuckDB replays it bit-for-bit — an APPROXIMATE
+    operator with an exact cross-engine value oracle, the repo's sketch
+    convention.
+
+    Scale shape: one partial-aggregatable groupBy (shuffle keys ∝ groups ×
+    n_bins), windows run over ≤ n_bins rows per group, the quantile list
+    is an exploded array literal (no join). Output: (group, q, est_q[6dp],
+    n_rows)."""
+    if not qs:
+        raise ValueError("quantile_hist requires a non-empty qs list")
+    if n_bins < 1 or not hi > lo:
+        raise ValueError("quantile_hist requires n_bins >= 1 and hi > lo")
+    from pyspark.sql import Window
+
+    width = (F.lit(float(hi)) - F.lit(float(lo))) / F.lit(int(n_bins))
+    v = F.col(value_col).cast("double")
+    idx = F.least(
+        F.greatest(F.floor((v - F.lit(float(lo))) / width).cast("long"), F.lit(0)),
+        F.lit(int(n_bins) - 1),
+    )
+    binned = (
+        df.where(F.col(value_col).isNotNull())
+        .select(F.col(group_col).alias("g"), idx.alias("b"))
+        .groupBy("g", "b")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    win_cum = (
+        Window.partitionBy("g").orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        binned.withColumn("cum", F.sum("cnt").over(win_cum))
+        .withColumn("n_rows", F.sum("cnt").over(Window.partitionBy("g")))
+    )
+    expanded = (
+        cum.select("*", F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q"))
+        .withColumn(
+            "target",
+            F.greatest(F.ceil(F.col("q") * F.col("n_rows")).cast("long"), F.lit(1)),
+        )
+        .where(F.col("cum") >= F.col("target"))
+    )
+    first_hit = Window.partitionBy("g", "q").orderBy("b")
+    est = F.lit(float(lo)) + width * (
+        F.col("b") + (F.col("target") - (F.col("cum") - F.col("cnt"))) / F.col("cnt")
+    )
+    return (
+        expanded.withColumn("rk", F.row_number().over(first_hit))
+        .where(F.col("rk") == 1)
+        .select(
+            F.col("g").alias(group_col),
+            "q",
+            F.round(est, 6).alias("est_q"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+        )
+    )

@@ -2888,6 +2888,98 @@ def text_bm25_scores(spark, sf_dir):
     )
 
 
+@register(
+    "text_tfidf_top_terms",
+    "Top-k TF-IDF keywords per document (smooth sklearn idf) — the "
+    "topic-tagging / mixing-diagnostics primitive. Whole-vocabulary "
+    "explode with all-partial aggregates; exact integer tf/df/N feed ONE "
+    "product of two logs (identical IEEE expression both engines), "
+    "rounded 6dp BEFORE the per-doc row_number window so the (tfidf DESC, "
+    "term ASC) order is total and engine-exact.",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id,
+             regexp_split_to_array(TRIM(lower(text)), '\\s+') AS tk
+      FROM documents WHERE length(TRIM(text)) >= 1),
+    sc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM tk),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(tk) AS term FROM tk)
+      WHERE length(term) >= 1
+      GROUP BY 1, 2),
+    dfreq AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf
+      GROUP BY 1 HAVING COUNT(*) >= 2),
+    w AS (
+      SELECT tf.doc_id, tf.term,
+             ROUND((1.0 + LN(tf.tf))
+                   * (LN((sc.n_docs + 1.0) / (dfreq.df + 1.0)) + 1.0), 6)
+               AS tfidf
+      FROM tf JOIN dfreq USING (term) CROSS JOIN sc),
+    rk AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+      FROM w)
+    SELECT doc_id, term, tfidf, CAST(rk AS BIGINT) AS rk
+    FROM rk WHERE rk <= 5
+    """,
+)
+def text_tfidf_top_terms(spark, sf_dir):
+    from german_newspaper_crawler_spark.operators.ranking import tfidf_top_terms
+
+    # min_df=2: hapax terms carry near-constant max idf and would make
+    # top-k degenerate on synthetic text; also exercises the prune path
+    return tfidf_top_terms(
+        t(spark, sf_dir, "documents"), "doc_id", "text", k=5, min_df=2,
+    )
+
+
+@register(
+    "sketch_quantile_doclen",
+    "Fixed-bin histogram quantile sketch (per-lang doc-length "
+    "percentiles) — the quantile member of the sketch suite (HLL = "
+    "distincts, Count-Min = frequencies): n_bins exact-bigint counters "
+    "per group regardless of row count, linear interpolation inside the "
+    "rank-ceil(q*N) bin. Deterministic function of (lo, hi, n_bins, "
+    "data) → an approximate operator with an exact cross-engine oracle.",
+    oracle="""
+    WITH binned AS (
+      SELECT lang AS g,
+             LEAST(GREATEST(CAST(FLOOR((CAST(n_chars AS DOUBLE) - 0.0)
+                 / ((640.0 - 0.0) / 64)) AS BIGINT), 0), 63) AS b,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+    cum AS (
+      SELECT g, b, cnt,
+             CAST(SUM(cnt) OVER (
+               PARTITION BY g ORDER BY b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum,
+             CAST(SUM(cnt) OVER (PARTITION BY g) AS BIGINT) AS n_rows
+      FROM binned),
+    ex AS (
+      SELECT cum.*, qv.q,
+             GREATEST(CAST(CEIL(qv.q * n_rows) AS BIGINT), 1) AS target
+      FROM cum CROSS JOIN (SELECT UNNEST([0.25, 0.5, 0.9, 0.99]) AS q) qv),
+    hit AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY g, q ORDER BY b) AS rk
+      FROM ex WHERE cum >= target)
+    SELECT g AS lang, q,
+           ROUND(0.0 + ((640.0 - 0.0) / 64)
+                 * (b + (target - (cum - cnt)) / cnt), 6) AS est_q,
+           n_rows
+    FROM hit WHERE rk = 1
+    """,
+)
+def sketch_quantile_doclen(spark, sf_dir):
+    from german_newspaper_crawler_spark.operators.sketches import quantile_hist
+
+    return quantile_hist(
+        t(spark, sf_dir, "documents"), "n_chars", "lang",
+        qs=(0.25, 0.5, 0.9, 0.99), lo=0.0, hi=640.0, n_bins=64,
+    )
+
+
 def _authority_pop_oracle_sql() -> str:
     ctes, final = _pagerank_oracle_ctes(3)
     # exact integer bucket — same bin-length trick as the Spark side
@@ -3000,6 +3092,9 @@ _ROTATED_TO_TAIL = [
     # two more r4-green slots freed for the new r5 entries (o4x, bm25)
     "text_token_count_bpe",
     "dedup_minhash_lsh",
+    # two more r4-green slots freed for the new r5 tfidf/quantile entries
+    "text_winnowing_fingerprints",
+    "tpch_q1_pricing_summary",
 ]
 
 _PROMOTED_TO_FRONT = [
@@ -3032,6 +3127,8 @@ _PROMOTED_TO_FRONT = [
     # new r5 operators — need their first driver rows
     "o4x_authority_pop",
     "text_bm25_scores",
+    "text_tfidf_top_terms",
+    "sketch_quantile_doclen",
 ]
 
 

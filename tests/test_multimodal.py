@@ -3,6 +3,8 @@ and video frame sampling (real plumbing over the stubbed codec boundary)."""
 
 from __future__ import annotations
 
+import struct
+
 import numpy as np
 import pytest
 
@@ -329,3 +331,54 @@ def test_y4m_decode_roundtrip_and_psnr_invariants():
         MM.decode_video(b"YUV4MPEG2 W32 H32 F25:1 C444\nFRAME\n" + b"\x00" * 10)
     with pytest.raises(ValueError):
         MM.encode_y4m(np.zeros((1, 3, 3, 3), np.uint8), chroma="420")
+
+
+def test_g711_expand_known_codewords_and_monotonicity():
+    # CCITT g711.c reference values: µ-law 0x00 -> -32124, 0xFF -> 0,
+    # 0x80 -> +32124; A-law 0xD5 -> +8, 0x55 -> -8, 0xAA -> +32256
+    mu = MM._g711_expand(np.array([0x00, 0xFF, 0x80], np.uint8), "ulaw")
+    assert np.allclose(mu * 32768.0, [-32124, 0, 32124])
+    al = MM._g711_expand(np.array([0xD5, 0x55, 0xAA], np.uint8), "alaw")
+    assert np.allclose(al * 32768.0, [8, -8, 32256])
+    # each law is a bijection over the 256 codewords onto a symmetric-ish
+    # grid; sorted decode must be strictly monotone (no duplicate levels
+    # except µ-law's two zero codewords 0xFF/0x7F)
+    all_mu = np.sort(MM._g711_expand(np.arange(256, dtype=np.uint8), "ulaw"))
+    assert np.sum(np.diff(all_mu) == 0) == 1  # ±0 collapse only
+    all_al = np.sort(MM._g711_expand(np.arange(256, dtype=np.uint8), "alaw"))
+    assert np.all(np.diff(all_al) > 0)
+
+
+def test_g711_compress_expand_roundtrip():
+    rng = np.random.default_rng(42)
+    x = rng.integers(-32768, 32768, 4096).astype(np.int16)
+    for law, max_err in [("ulaw", 512 + 132), ("alaw", 1024 + 8)]:
+        cw = MM.g711_compress(x, law)
+        rt = MM._g711_expand(cw, law) * 32768.0
+        # error bounded by half the top-segment step (+ clip headroom)
+        assert np.max(np.abs(rt - np.clip(x, -32635, 32635))) <= max_err
+        # compress is the pseudo-inverse: re-compressing the decode is identity
+        assert np.array_equal(MM.g711_compress(rt.astype(np.int16), law), cw)
+    # sine SNR through the codec comfortably exceeds telephony spec ~35dB
+    t = np.arange(8000) / 8000.0
+    sine = (np.sin(2 * np.pi * 440 * t) * 20000).astype(np.int16)
+    dec = MM._g711_expand(MM.g711_compress(sine, "ulaw"), "ulaw") * 32768.0
+    err = dec - sine
+    snr = 10 * np.log10(np.sum(sine.astype(np.float64) ** 2) / np.sum(err**2))
+    assert snr > 35.0
+
+
+def test_g711_wav_container_decode():
+    rng = np.random.default_rng(7)
+    cw = rng.integers(0, 256, 1600).astype(np.uint8)
+    for law in ("ulaw", "alaw"):
+        wav = MM.encode_wav_g711(cw, 8000, law)
+        samples, sr = MM.decode_audio(wav)
+        assert sr == 8000
+        assert np.array_equal(samples, MM._g711_expand(cw, law))
+    with pytest.raises(NotImplementedError):
+        # ADPCM (format 2) still honestly unsupported
+        bad = MM.encode_wav_g711(cw, 8000, "ulaw").replace(
+            struct.pack("<HH", 7, 1), struct.pack("<HH", 2, 1), 1
+        )
+        MM.decode_audio(bad)

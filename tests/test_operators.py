@@ -587,3 +587,86 @@ def test_cache_release_carries_to_derived_frame(spark):
     del out
     gc.collect()
     assert not any(f.alive for f in moved)  # release fired exactly once
+
+
+def test_ranking_guards_and_tfidf_semantics(spark):
+    import pytest
+
+    from german_newspaper_crawler_spark.operators.ranking import (
+        bm25_scores, tfidf_top_terms,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "apple banana apple cherry"),
+            (2, "banana cherry cherry date"),
+            (3, "apple date date date unique"),
+        ],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError):
+        bm25_scores(df, "doc_id", "text", query_terms=[])
+    with pytest.raises(ValueError):
+        tfidf_top_terms(df, "doc_id", "text", k=0)
+
+    rows = tfidf_top_terms(df, "doc_id", "text", k=2, min_df=1).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # every doc yields exactly k=2 ranked terms (all have >=2 distinct terms)
+    assert {d: len(v) for d, v in by_doc.items()} == {1: 2, 2: 2, 3: 2}
+    for v in by_doc.values():
+        v.sort(key=lambda r: r["rk"])
+        assert [r["rk"] for r in v] == [1, 2]
+        assert v[0]["tfidf"] >= v[1]["tfidf"]
+    # doc 3: 'unique' is a hapax (df=1) with tf=1 -> weight 1.0*(ln(4/2)+1);
+    # 'date' has tf=3, df=2 -> (1+ln 3)*(ln(4/3)+1): date must outrank it
+    top3 = by_doc[3][0]
+    assert top3["term"] == "date"
+    # min_df=2 prunes the hapax entirely
+    pruned = tfidf_top_terms(df, "doc_id", "text", k=5, min_df=2).collect()
+    assert all(r["term"] != "unique" for r in pruned)
+
+
+def test_quantile_hist_accuracy_and_reshuffle_identity(spark):
+    import numpy as np
+    import pytest
+
+    from german_newspaper_crawler_spark.operators.sketches import quantile_hist
+
+    rng = np.random.default_rng(11)
+    vals = rng.integers(0, 1000, 3000).tolist()
+    df = spark.createDataFrame(
+        [(int(v), "g%d" % (i % 2)) for i, v in enumerate(vals)],
+        "v long, grp string",
+    )
+    with pytest.raises(ValueError):
+        quantile_hist(df, "v", "grp", qs=())
+    with pytest.raises(ValueError):
+        quantile_hist(df, "v", "grp", hi=0.0, lo=0.0)
+
+    out = quantile_hist(
+        df, "v", "grp", qs=(0.5, 0.9), lo=0.0, hi=1000.0, n_bins=100
+    ).collect()
+    assert len(out) == 4
+    by = {(r["grp"], r["q"]): r for r in out}
+    for g in ("g0", "g1"):
+        exact = np.sort([v for i, v in enumerate(vals) if i % 2 == int(g[1])])
+        n = len(exact)
+        assert by[(g, 0.5)]["n_rows"] == n
+        for q in (0.5, 0.9):
+            est = by[(g, q)]["est_q"]
+            # estimate must land within one bin width of the exact
+            # rank-ceil(q*N) order statistic (bin width = 10)
+            truth = exact[int(np.ceil(q * n)) - 1]
+            assert abs(est - truth) <= 10.0, (g, q, est, truth)
+    # partition-layout identity: the estimate is a pure function of counts
+    out2 = quantile_hist(
+        df.repartition(13, "v"), "v", "grp",
+        qs=(0.5, 0.9), lo=0.0, hi=1000.0, n_bins=100,
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+    # outliers clamp to edge bins instead of disappearing
+    edge = spark.createDataFrame([(-50, "g"), (5000, "g")], "v long, grp string")
+    [r] = quantile_hist(edge, "v", "grp", qs=(0.5,), lo=0.0, hi=100.0, n_bins=10).collect()
+    assert r["n_rows"] == 2 and 0.0 <= r["est_q"] <= 100.0

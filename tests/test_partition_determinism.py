@@ -57,6 +57,12 @@ RISKY = [
     "sketch_countmin_user_counts",
     # r5: BM25 — per-doc float sum pinned by a sequential term-order fold
     "text_bm25_scores",
+    # r5: TF-IDF top-k — window order must be total (6dp round + term
+    # tiebreak) regardless of input partitioning
+    "text_tfidf_top_terms",
+    # r5: histogram quantiles — estimate must be a pure function of bin
+    # counts (integer cum windows), never of row order
+    "sketch_quantile_doclen",
     # r5: authority pop — window ties + salted two-phase + global top-k
     # must be a total order (url tiebreak), partition-independent
     "o4x_authority_pop",

@@ -27,6 +27,7 @@ PLAN_EXCEPTIONS = {
                                 # every data-sized join is key-based
     "text_bm25_scores",         # crossJoin with the 1-ROW (N, avgdl)
                                 # broadcast aggregate — scalar denominators
+    "text_tfidf_top_terms",     # same 1-row broadcast scalar (n_docs)
 }
 
 
