@@ -736,3 +736,109 @@ def countmin_stream_estimate(
         .agg(F.min(F.coalesce("n", F.lit(0))).cast("long").alias("est_count"))
         .select(F.col("k").alias(key_col), "est_count")
     )
+
+
+def streaming_quantile_hist(
+    docs: DataFrame,
+    store,
+    checkpoint: str,
+    value_col: str,
+    group_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 64,
+    bins_table: str = "qh_bins",
+):
+    """Continuously-running twin of
+    :func:`operators.sketches.quantile_hist`: each microbatch folds its
+    rows' bin counts into a persistent (group × n_bins) counter table by
+    SUM. Bin counts are additive like Count-Min cells (and unlike the HLL
+    twin's idempotent max-merge), so the same per-cell ``last_batch``
+    fence applies: a replayed batch finds its own batch id recorded on
+    every (g, b) cell it touched and adds nothing, and counts + fence
+    commit as ONE atomic snapshot overwrite. State stays groups × n_bins
+    cells regardless of stream length."""
+    process = quantile_hist_batch(
+        store, value_col, group_col, lo, hi, n_bins, bins_table
+    )
+    return (
+        docs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )
+
+
+def quantile_hist_batch(
+    store,
+    value_col: str,
+    group_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 64,
+    bins_table: str = "qh_bins",
+):
+    """Per-microbatch bin-count fold behind :func:`streaming_quantile_hist`
+    — exposed for direct replay testing and non-streaming incremental
+    runs. Same fence/merge shape as :func:`countmin_batch`."""
+    from german_newspaper_crawler_spark.operators.sketches import _qh_bin_expr
+
+    idx = _qh_bin_expr(value_col, lo, hi, n_bins)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        bc = (
+            batch_df.where(F.col(value_col).isNotNull())
+            .select(F.col(group_col).alias("g"), idx.alias("b"))
+            .groupBy("g", "b")
+            .agg(F.count("*").cast("long").alias("bn"))
+        )
+        if store.exists(bins_table):
+            prior = store.read(spark, bins_table)
+            merged = prior.join(bc, ["g", "b"], "full_outer").select(
+                "g",
+                "b",
+                (
+                    F.coalesce("cnt", F.lit(0))
+                    + F.when(
+                        F.lit(batch_id) > F.coalesce("last_batch", F.lit(-1)),
+                        F.coalesce("bn", F.lit(0)),
+                    ).otherwise(F.lit(0))
+                ).cast("long").alias("cnt"),
+                F.greatest(
+                    F.coalesce("last_batch", F.lit(-1)),
+                    F.lit(batch_id).cast("long"),
+                ).alias("last_batch"),
+            )
+        else:
+            merged = bc.select(
+                "g",
+                "b",
+                F.col("bn").alias("cnt"),
+                F.lit(batch_id).cast("long").alias("last_batch"),
+            )
+        store.overwrite(bins_table, merged)
+
+    return process
+
+
+def quantile_hist_stream_estimate(
+    spark,
+    store,
+    group_col: str,
+    qs: tuple[float, ...],
+    lo: float,
+    hi: float,
+    n_bins: int = 64,
+    bins_table: str = "qh_bins",
+):
+    """(group, q, est_q, n_rows) from the accumulated bin table — the same
+    cum-window/interpolation read as the batch operator; counts are exact
+    bigints, so after any chunking/restart history the estimates equal a
+    one-shot :func:`operators.sketches.quantile_hist` over everything that
+    ever arrived."""
+    from german_newspaper_crawler_spark.operators.sketches import (
+        _qh_estimate_from_bins,
+    )
+
+    binned = store.read(spark, bins_table).select("g", "b", "cnt")
+    return _qh_estimate_from_bins(binned, qs, lo, hi, n_bins, group_col)

@@ -508,3 +508,82 @@ def test_streaming_countmin_fenced_sum_merge(spark, tmp_path):
         ).collect()
     }
     assert got3 == twice
+
+
+def test_streaming_quantile_hist_fenced_sum_merge(spark, tmp_path):
+    """foreachBatch histogram-quantile twin: (g, b)-cell SUM-merged bin
+    counts over chunked arrivals (with a restart) make the accumulated
+    estimate equal the one-shot batch sketch bit for bit; bin counts are
+    additive like Count-Min cells, so the per-cell last_batch fence must
+    make replays a no-op."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from german_newspaper_crawler_spark.operators.sketches import quantile_hist
+    from german_newspaper_crawler_spark.sources.store import SnapshotStore
+    from german_newspaper_crawler_spark.streaming.incremental import (
+        quantile_hist_batch, quantile_hist_stream_estimate,
+        streaming_quantile_hist,
+    )
+
+    schema = StructType(
+        [StructField("v", LongType()), StructField("grp", StringType())]
+    )
+    c1 = spark.range(3000).select(
+        ((F.col("id") * 37) % 1000).alias("v"),
+        F.concat(F.lit("g"), (F.col("id") % 2).cast("string")).alias("grp"),
+    )
+    c2 = spark.range(3000, 7000).select(
+        ((F.col("id") * 37) % 1000).alias("v"),
+        F.concat(F.lit("g"), (F.col("id") % 2).cast("string")).alias("grp"),
+    )
+    src, ckpt = str(tmp_path / "rows"), str(tmp_path / "ckpt")
+    store = SnapshotStore(str(tmp_path / "store"))
+    c1.coalesce(1).write.mode("append").parquet(src)
+
+    def run():
+        stream = streaming_quantile_hist(
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src),
+            store, ckpt, value_col="v", group_col="grp",
+            lo=0.0, hi=1000.0, n_bins=50,
+        )
+        stream.start().awaitTermination()
+
+    run()
+    c2.coalesce(1).write.mode("append").parquet(src)
+    run()  # restart: only the new file folds (batch id advances)
+
+    qs = (0.25, 0.5, 0.95)
+    got = sorted(
+        map(tuple, quantile_hist_stream_estimate(
+            spark, store, "grp", qs, 0.0, 1000.0, n_bins=50
+        ).collect())
+    )
+    expect = sorted(
+        map(tuple, quantile_hist(
+            c1.unionByName(c2), "v", "grp", qs=qs, lo=0.0, hi=1000.0, n_bins=50
+        ).collect())
+    )
+    assert got == expect  # chunking + restart invisible in the estimate
+
+    # replay fence: re-folding an already-processed batch id is a no-op
+    last_batch = (
+        store.read(spark, "qh_bins").agg(F.max("last_batch")).collect()[0][0]
+    )
+    quantile_hist_batch(store, "v", "grp", 0.0, 1000.0, 50)(c2, last_batch)
+    got2 = sorted(
+        map(tuple, quantile_hist_stream_estimate(
+            spark, store, "grp", qs, 0.0, 1000.0, n_bins=50
+        ).collect())
+    )
+    assert got2 == expect
+
+    # a genuinely new batch id counts: n_rows grows by len(c1)
+    quantile_hist_batch(store, "v", "grp", 0.0, 1000.0, 50)(c1, last_batch + 1)
+    n_after = {
+        (r["grp"],): r["n_rows"]
+        for r in quantile_hist_stream_estimate(
+            spark, store, "grp", (0.5,), 0.0, 1000.0, n_bins=50
+        ).collect()
+    }
+    assert sum(n_after.values()) == 7000 + 3000
