@@ -79,3 +79,33 @@ def test_chunk_packing_matches_reference_exactly(text, max_len):
     assert chunk_text_by_paragraphs(text, max_len) == ref._chunk_text_by_paragraphs(
         text, max_len
     )
+
+
+@given(
+    st.lists(st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=256),
+    st.sampled_from(["ulaw", "alaw"]),
+)
+@settings(max_examples=300, deadline=None)
+def test_g711_compand_properties(xs, law):
+    """G.711 compress∘expand is a quantizer: error bounded by the top-
+    segment step, expand∘compress∘expand is the identity on decode values
+    (codewords are a fixpoint), and companding preserves sign."""
+    import numpy as np
+
+    from german_newspaper_crawler_spark.operators.multimodal import (
+        _g711_expand, g711_compress,
+    )
+
+    x = np.array(xs, np.int16)
+    cw = g711_compress(x, law)
+    rt = _g711_expand(cw, law) * 32768.0
+    clip = np.clip(x, -32635, 32635) if law == "ulaw" else x
+    bound = 512 + 132 if law == "ulaw" else 1024 + 8
+    assert np.max(np.abs(rt - clip)) <= bound
+    # decode values are fixpoints of the codec
+    assert np.array_equal(g711_compress(rt.astype(np.int16), law), cw)
+    # sign preservation away from the origin (A-law is a mid-riser
+    # quantizer with no zero level: linear 0 decodes to ±8, so inputs
+    # inside the first step may land on either side)
+    far = np.abs(clip) >= 16
+    assert np.all(np.sign(rt[far]) == np.sign(clip[far]))
