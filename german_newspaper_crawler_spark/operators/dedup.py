@@ -73,6 +73,41 @@ def carry_cache_release(result: DataFrame, *sources: DataFrame) -> DataFrame:
     return result
 
 
+def widen_if_narrow(df: DataFrame) -> DataFrame:
+    """Repartition up to the session's shuffle parallelism when the input
+    plan has fewer partitions. A single-file / few-row-group parquet scan
+    yields 1-2 scan tasks, which serializes every narrow transform above it
+    (split/hash/shingle — measured 2 of 32 cores busy on the sf1.0 documents
+    scan); one cheap exchange of the narrow input buys full-width execution
+    of the expensive per-row work (guide §2.2 "fewer, larger map tasks" in
+    reverse: here the scan is too narrow, not too wide). No-op whenever the
+    scan is already at least as wide as ``spark.sql.shuffle.partitions`` —
+    i.e. always at cluster scale — so the extra exchange exists exactly when
+    it buys parallelism."""
+    spark = df.sparkSession
+    try:
+        # only probe scan-shaped lineages (project/filter over a relation):
+        # anything that already passed a shuffle (aggregate/join/window/
+        # repartition) or a cache is as wide as the session's shuffle
+        # parallelism, and calling .rdd on such an adaptive plan would
+        # eagerly materialize its query stages at plan-build time
+        plan = df._jdf.queryExecution().analyzed().toString()
+        if any(
+            k in plan
+            for k in (
+                "Aggregate", "Join", "Window", "Repartition", "Sort",
+                "InMemoryRelation", "Generate", "Union",
+            )
+        ):
+            return df
+        p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        if df.rdd.getNumPartitions() < p:
+            return df.repartition(p)
+    except Exception:
+        pass
+    return df
+
+
 def exact_dedup(df: DataFrame, id_col: str, sig_col) -> DataFrame:
     """Exact dedup: keep min-id row per signature (reference identity as a
     groupBy; the crawl path uses the anti-join form instead)."""
@@ -83,9 +118,15 @@ def exact_dedup(df: DataFrame, id_col: str, sig_col) -> DataFrame:
 
 def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """Distinct n-word shingles per row → (id, shingle). JVM-side transform,
-    no UDF; rows with < n tokens are dropped (both engines agree)."""
+    no UDF; rows with < n tokens are dropped (both engines agree). Widened
+    first so the split + shingle concat parallelize over single-file scans
+    (no-op on wide scans)."""
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    df2 = df.select(F.col(id_col), toks.alias("tk")).where(F.size("tk") >= n)
+    df2 = (
+        widen_if_narrow(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), toks.alias("tk"))
+        .where(F.size("tk") >= n)
+    )
     parts = ", ' ', ".join(f"element_at(tk, i + {j})" for j in range(n))
     shingles = F.expr(
         f"transform(sequence(1, size(tk) - {n - 1}), i -> concat({parts}))"
@@ -223,15 +264,35 @@ def phash_suppress_near_dups(
     return batch.join(hits, id_col, "left_anti")
 
 
-def _capped_inverted_index(sh: DataFrame, id_col: str, max_df: int):
+def _attach_df(arr0: DataFrame, id_col: str) -> DataFrame:
+    """Explode the per-doc shingle arrays and attach each shingle's corpus
+    document frequency: (id, shingle, __df).
+
+    The df attach ships only the df ≥ 2 band through the join (singletons —
+    the overwhelming majority of a real corpus's shingles — default to
+    __df = 1 via the left join's coalesce). That band is aggregated
+    (partial-agg groupBy, skew-safe for mega-df stop shingles) and small on
+    real corpora, so AQE converts the join to a broadcast hash join at
+    runtime and the full explode never shuffles for the attach; when the
+    band is genuinely large the same plan degrades to a sort-merge join.
+    ``arr0`` is persisted by the caller — the explode feeding the df count
+    and the probe side reads the cache twice instead of re-splitting text.
+    """
+    sh = arr0.select(id_col, F.explode("sh_arr").alias("shingle"))
+    dfreq2 = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("__df"))
+        .where(F.col("__df") >= 2)
+    )
+    return sh.join(dfreq2, "shingle", "left").select(
+        id_col, "shingle", F.coalesce("__df", F.lit(1)).alias("__df")
+    )
+
+
+def _capped_inverted_index(arr0: DataFrame, id_col: str, max_df: int):
     """Shared df-capped inverted-index core: (common, sizes) where ``common``
     is (a, b, c=|A∩B|) over shingles with df in [2, max_df] and ``sizes`` is
     the per-doc count of df ≤ max_df shingles (incl. singletons).
-
-    ``sh`` is consumed by three subplans (df counts, per-doc sizes, posting
-    lists), so callers persist it — one explode, three cheap scans, all
-    inside the single final job (Spark's block manager materializes the
-    cache at first use and later stages read it).
 
     Pass 1: df counts per shingle — partial-aggregatable (map-side combine),
     NOT a collect_list over the (overwhelmingly singleton) posting lists.
@@ -239,25 +300,23 @@ def _capped_inverted_index(sh: DataFrame, id_col: str, max_df: int):
     key set on real corpora — build sorted posting lists and emit their
     ≤ k²/2 pairs JVM-side.
     """
-    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("__df"))
-    overcap = dfreq.where(F.col("__df") > max_df).select("shingle")
-    shared = dfreq.where(
-        (F.col("__df") >= 2) & (F.col("__df") <= max_df)
-    ).select("shingle")
+    att = _attach_df(arr0, id_col)
     sizes = (
-        sh.join(overcap, "shingle", "left_anti")
+        att.where(F.col("__df") <= max_df)
         .groupBy(id_col)
         .agg(F.count("*").alias("n_sh"))
     )
     groups = (
-        sh.join(shared, "shingle", "left_semi")
+        att.where((F.col("__df") >= 2) & (F.col("__df") <= max_df))
         .groupBy("shingle")
         .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ds"))
     )
+    # two-arg lambda binds the outer posting once per iteration (an
+    # element_at(ds, i) inside the inner lambda would re-probe per partner)
     pair_structs = F.expr(
-        """flatten(transform(sequence(1, size(ds) - 1),
-             i -> transform(slice(ds, i + 1, size(ds) - i),
-               y -> struct(element_at(ds, i) AS a, y AS b))))"""
+        """flatten(transform(ds, (x, i0) ->
+             transform(slice(ds, i0 + 2, size(ds)),
+               y -> struct(x AS a, y AS b))))"""
     )
     common = (
         groups.select(F.explode(pair_structs).alias("p"))
@@ -269,7 +328,7 @@ def _capped_inverted_index(sh: DataFrame, id_col: str, max_df: int):
 
 
 def _prefix_filtered_pairs(
-    sh: DataFrame, id_col: str, max_df: int, threshold: float
+    arr0: DataFrame, id_col: str, max_df: int, threshold: float
 ) -> DataFrame:
     """PPJoin-style prefix-filtered exact Jaccard self-join (Xiao et al.,
     WWW'08 "Efficient Similarity Joins for Near Duplicate Detection";
@@ -283,24 +342,57 @@ def _prefix_filtered_pairs(
     jaccard >= t' shares a PREFIX shingle. Any shared shingle has df >= 2
     by definition, so df=1 postings are dropped losslessly — with
     singletons sorted first they fill prefix slots for free. Candidates
-    also pass the size filter (min >= t'*max, else jaccard < t'), then are
-    verified EXACTLY via array_intersect on the per-doc sorted shingle
-    arrays — same output, ~an order of magnitude fewer shuffled pairs than
-    enumerating every co-occurrence (measured sf0.1: 1.13M -> ~60k).
+    pass two per-occurrence filters before the exact verify:
+
+    * size filter: min(na, nb) >= t' * max(na, nb), else jaccard < t';
+    * positional filter (PPJoin): for a co-occurrence at 1-based positions
+      (pa, pb) of the df-sorted arrays, overlap <= 1 + min(na-pa, nb-pb)
+      whenever no earlier common shingle exists — both arrays share the
+      global sort order, so the FIRST common shingle gives the weakest
+      (largest) such bound, and keep-if-ANY-occurrence-passes is exactly
+      keep-if-first-occurrence-passes: lossless. jaccard >= t' needs
+      overlap*(1+t') >= (na+nb)*t'.
+
+    Candidates pass two per-occurrence filters before the exact verify:
+
+    * size filter: min(na, nb) >= t' * max(na, nb), else jaccard < t';
+    * positional filter (PPJoin): for a co-occurrence at 1-based positions
+      (pa, pb) of the df-sorted arrays, overlap <= 1 + min(na-pa, nb-pb)
+      whenever no earlier common shingle exists — both arrays share the
+      global sort order, so the FIRST common shingle gives the weakest
+      (largest) such bound, and keep-if-ANY-occurrence-passes is exactly
+      keep-if-first-occurrence-passes: lossless.
+
+    Surviving candidates are verified EXACTLY via array_intersect on the
+    per-doc shingle arrays — computed INSIDE the emission lambda, because
+    each posting carries its doc's full (df-capped) shingle array. That
+    trades a wider posting shuffle (array payload, bytes ∝ postings ×
+    doc-array size) for the removal of the entire verify-join subtree: no
+    candidate-stream exchange, no join back to a doc-array table, no
+    distinct over millions of candidates (measured sf1.0: 11M surviving
+    candidates for 2.5k verified pairs — two candidate exchanges + two
+    sort-merge joins replaced by a filter that never leaves the stage).
+    Duplicates from multi-shingle candidates are dropped on the tiny
+    verified output. (A numpy mapInArrow verifier was also measured: its
+    vectorized membership test is ~10x cheaper than the interpreted
+    array_intersect, but the JVM->Arrow conversion of the duplicated array
+    payload cost 3x more than it saved — 416 vs 145 executor-core-seconds
+    for the stage — so the all-JVM form wins.)
 
     ``t' = threshold - 1e-6`` absorbs the 6dp rounding of the emitted
     jaccard: a pair whose rounded value reaches the threshold can never be
     pruned by bounds computed at t'.
 
-    Scale shape: one shuffle to attach df, one doc-local groupBy building
-    the sorted arrays, one groupBy(shingle) over PREFIX postings (lists
-    bounded by max_df AND prefix membership), one join of candidate pairs
-    back to the doc arrays. No step is quadratic in a stop-shingle's df.
+    Scale shape: one partial-agg shuffle for the df >= 2 band, a broadcast
+    df attach (AQE; SMJ fallback when the band is large), one doc-local
+    groupBy building the sorted arrays, one groupBy(shingle) over PREFIX
+    postings (lists bounded by max_df AND prefix membership; per-group
+    state ≤ max_df × doc-array bytes), and a final distinct over verified
+    pairs only. No step is quadratic in a stop-shingle's df.
     """
     t = max(threshold - 1e-6, 0.0)
-    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("__df"))
     docs = (
-        sh.join(dfreq, "shingle")
+        _attach_df(arr0, id_col)
         .where(F.col("__df") <= max_df)
         .groupBy(id_col)
         .agg(
@@ -325,75 +417,97 @@ def _prefix_filtered_pairs(
             ).cast("int"),
         )
         .select(
-            "__d", "n_sh",
-            F.explode(F.expr("slice(ss, 1, __p)")).alias("e"),
+            "__d", "n_sh", "sh_arr",
+            F.posexplode(F.expr("slice(ss, 1, __p)")).alias("pos0", "e"),
         )
         .where(F.col("e.__df") >= 2)
-        .select(F.col("e.shingle").alias("shingle"), "__d", "n_sh")
+        .select(
+            F.col("e.shingle").alias("shingle"), "__d", "n_sh",
+            (F.col("pos0") + 1).alias("pos"), F.col("sh_arr").alias("arr"),
+        )
     )
-    # sorted (doc, size) posting lists -> ordered pairs + size filter,
-    # emitted JVM-side; a prefix co-occurrence can repeat across shingles
-    # -> groupBy dedups before the (fatter) verify join
+    # sorted (doc, size, pos, array) posting lists -> ordered pairs with
+    # the filters AND the exact verify evaluated during emission
     groups = prefix.groupBy("shingle").agg(
-        F.array_sort(F.collect_list(F.struct("__d", "n_sh"))).alias("ds")
+        F.array_sort(
+            F.collect_list(F.struct("__d", "n_sh", "pos", "arr"))
+        ).alias("ds")
     ).where(F.size("ds") >= 2)
+    # Emission shape (measured on the sf1.0 corpus, 31.8M raw pairs):
+    # * two-arg lambda (x, i0) binds the outer posting once instead of
+    #   element_at(ds, i) re-probes per inner element,
+    # * the cheap size + positional double conditions short-circuit before
+    #   the array_intersect runs (31.8M -> 11M intersect evaluations at
+    #   sf1.0), and failures never allocate a struct,
+    # * {t!r}D literals force DOUBLE arithmetic — a bare 0.499999 parses as
+    #   DECIMAL(17,6) and drags the whole filter into interpreted decimal
+    #   multiplication (measured ~2x on the emission stage),
+    # * the rounded-jaccard threshold test runs inside the filter too, so
+    #   only verified pairs are ever materialized as rows.
     # (df >= 2 counts ALL docs holding the shingle; a prefix posting list
-    # can still be a singleton when only one of them has it in-prefix —
-    # and sequence(1, 0) DESCENDS in Spark, so the guard is load-bearing)
+    # can still be a singleton when only one of them has it in-prefix.)
     pair_structs = F.expr(
-        f"""filter(
-          flatten(transform(sequence(1, size(ds) - 1),
-            i -> transform(slice(ds, i + 1, size(ds) - i),
-              y -> struct(element_at(ds, i).__d AS a,
-                          element_at(ds, i).n_sh AS na,
-                          y.__d AS b, y.n_sh AS nb)))),
-          p -> least(p.na, p.nb) >= {t!r} * greatest(p.na, p.nb))"""
-    )
-    cands = (
-        groups.select(F.explode(pair_structs).alias("p"))
-        .groupBy("p.a", "p.b", "p.na", "p.nb")
-        .agg(F.lit(1))
-        .select("a", "b", "na", "nb")
-    )
-    arrs = docs.select("__d", "sh_arr")
-    c = F.size(F.array_intersect("__sa", "__sb"))
-    jac = F.round(
-        c.cast("double") / (F.col("na") + F.col("nb") - c).cast("double"), 6
+        f"""flatten(transform(ds, (x, i0) ->
+              transform(
+                filter(slice(ds, i0 + 2, size(ds)),
+                  y -> double(least(x.n_sh, y.n_sh))
+                         >= {t!r}D * double(greatest(x.n_sh, y.n_sh))
+                   and double(1 + least(x.n_sh - x.pos, y.n_sh - y.pos))
+                         * (1D + {t!r}D)
+                         >= double(x.n_sh + y.n_sh) * {t!r}D
+                   and round(double(size(array_intersect(x.arr, y.arr)))
+                             / double(x.n_sh + y.n_sh
+                                      - size(array_intersect(x.arr, y.arr))), 6)
+                         >= {threshold!r}D),
+                y -> struct(x.__d AS a, y.__d AS b,
+                            round(double(size(array_intersect(x.arr, y.arr)))
+                                  / double(x.n_sh + y.n_sh
+                                           - size(array_intersect(x.arr, y.arr))), 6)
+                              AS jaccard))))"""
     )
     return (
-        cands.join(arrs.select(F.col("__d").alias("a"), F.col("sh_arr").alias("__sa")), "a")
-        .join(arrs.select(F.col("__d").alias("b"), F.col("sh_arr").alias("__sb")), "b")
-        .withColumn("jaccard", jac)
-        .where(F.col("jaccard") >= threshold)
-        .select("a", "b", "jaccard")
+        groups.select(F.explode(pair_structs).alias("p"))
+        .select("p.a", "p.b", "p.jaccard")
+        .distinct()
     )
 
 
-def _hashed_shingles(
+def _shingle_arrays(
     df: DataFrame, id_col: str, text_col: str, n: int
 ) -> DataFrame:
-    """Shingles keyed by xxhash64 — 8-byte shuffle/cache keys instead of
-    ~30-byte strings (the payload that dominates the shuffle at corpus
-    scale). The hash is computed directly over the n token columns inside
-    the transform (multi-arg xxhash64), so the intermediate concat string
-    is never allocated. Deterministic, so results are stable run-to-run; a
-    64-bit collision merges two shingles (P ≈ n²/2⁶⁵ — immaterial next to
-    the near-dup thresholds, and the universal trade every MinHash-family
-    system makes). Lazily persisted: one explode feeds the three
-    inverted-index scans within the final job; public callers tie the
-    cache's release to their result DataFrame via
-    :func:`_release_cache_with`, so no block leaks past the result's
-    lifetime."""
+    """Per-doc DISTINCT shingle-hash arrays (id, sh_arr) keyed by xxhash64 —
+    8-byte shuffle/cache keys instead of ~30-byte strings (the payload that
+    dominates the shuffle at corpus scale). The hash is computed directly
+    over the n token columns inside the transform (multi-arg xxhash64), so
+    the intermediate concat string is never allocated. Deterministic, so
+    results are stable run-to-run; a 64-bit collision merges two shingles
+    (P ≈ n²/2⁶⁵ — immaterial next to the near-dup thresholds, and the
+    universal trade every MinHash-family system makes).
+
+    The input is widened first (:func:`widen_if_narrow`) so the regex split
+    and the per-token hashing — the dominant narrow cost — parallelize even
+    over a single-file scan. Persisted as arrays (strictly smaller than the
+    exploded rows) because the downstream df count and df attach both
+    explode it; public callers tie the cache's release to their result
+    DataFrame via :func:`_release_cache_with`, so no block leaks past the
+    result's lifetime. NOTE: the persist also keeps the optimizer from
+    inlining the shingle expression into filters inferred above a later
+    explode of ``sh_arr`` (InferFiltersFromGenerate re-evaluates a non-cheap
+    generator child per row otherwise — measured 35x on the sf1.0 corpus)."""
     from pyspark import StorageLevel
 
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    df2 = df.select(F.col(id_col), toks.alias("tk")).where(F.size("tk") >= n)
+    df2 = (
+        widen_if_narrow(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), toks.alias("tk"))
+        .where(F.size("tk") >= n)
+    )
     args = ", ".join(f"element_at(tk, i + {j})" for j in range(n))
     shingles = F.expr(
         f"transform(sequence(1, size(tk) - {n - 1}), i -> xxhash64({args}))"
     )
     return (
-        df2.select(id_col, F.explode(F.array_distinct(shingles)).alias("shingle"))
+        df2.select(id_col, F.array_distinct(shingles).alias("sh_arr"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
@@ -420,12 +534,12 @@ def ngram_jaccard_pairs(
     see :func:`_prefix_filtered_pairs`.
     """
     if max_df is not None:
-        sh = _hashed_shingles(df, id_col, text_col, n)
+        arr0 = _shingle_arrays(df, id_col, text_col, n)
         if prefix_filter:
             return _release_cache_with(
-                _prefix_filtered_pairs(sh, id_col, max_df, threshold), sh
+                _prefix_filtered_pairs(arr0, id_col, max_df, threshold), arr0
             )
-        common, sizes = _capped_inverted_index(sh, id_col, max_df)
+        common, sizes = _capped_inverted_index(arr0, id_col, max_df)
         sa = sizes.select(F.col(id_col).alias("a"), F.col("n_sh").alias("na"))
         sb = sizes.select(F.col(id_col).alias("b"), F.col("n_sh").alias("nb"))
         jac = F.round(
@@ -439,7 +553,7 @@ def ngram_jaccard_pairs(
             .withColumn("jaccard", jac)
             .where(F.col("jaccard") >= threshold)
             .select("a", "b", "jaccard"),
-            sh,
+            arr0,
         )
     sh = word_shingles(df, id_col, text_col, n)
     # uncapped path: classic inverted-index self-join — per-group memory
@@ -565,8 +679,8 @@ def containment_pairs(
     """
     cached_sh = None
     if max_df is not None:
-        sh = cached_sh = _hashed_shingles(df, id_col, text_col, n)
-        common, sizes = _capped_inverted_index(sh, id_col, max_df)
+        cached_sh = _shingle_arrays(df, id_col, text_col, n)
+        common, sizes = _capped_inverted_index(cached_sh, id_col, max_df)
     else:
         sh = word_shingles(df, id_col, text_col, n)
         sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))

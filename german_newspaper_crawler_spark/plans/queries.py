@@ -1924,29 +1924,41 @@ def curation_pipeline(spark, sf_dir):
     from german_newspaper_crawler_spark.operators.components import dedup_keepers
     from german_newspaper_crawler_spark.operators.dedup import (
         _release_cache_with, carry_cache_release, ngram_jaccard_pairs,
+        widen_if_narrow,
     )
 
-    docs = t(spark, sf_dir, "documents")
+    # widened first: the quality gate + signature sha256 are narrow per-row
+    # work serialized by the single-file scan otherwise (guide §2.5)
+    docs = widen_if_narrow(t(spark, sf_dir, "documents").select("doc_id", "source", "text"))
     quality = docs.where(token_count_estimate("text").between(10, 5000))
     sig = F.sha2(F.concat_ws(" ", F.slice(F.split(F.trim("text"), r"\s+"), 1, 3)), 256)
-    w = Window.partitionBy(sig).orderBy("doc_id")
-    # exact_keep feeds TWO branches (shingle derivation + keeper join) —
-    # persist so the scan + signature window runs once, released with the
-    # result frame like the shingle cache
+    # first-row-per-signature via min(doc_id) per sig + semi-join back:
+    # only (sig, doc_id) pairs shuffle (hash agg with map-side partial
+    # agg), never the text payload — the former sort-window formulation
+    # exchanged + sorted every surviving text by signature (guide §2.3
+    # "shuffle keys and metadata instead of payloads"; a min(struct(...))
+    # one-pass variant was measured 4x slower still: structs demote the
+    # hash aggregate to SortAggregate). The keeper-id set is aggregated,
+    # so AQE broadcasts it when small and the probe side never shuffles.
+    keep_ids = (
+        quality.groupBy(sig.alias("__sig"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
     exact_keep = (
-        quality.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .drop("__rn")
+        quality.join(keep_ids, "doc_id", "left_semi")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # prefix_filter=False: PPJoin pays off on raw corpora where duplicate
-    # density is high (dedup_ngram_jaccard: 1.13M → 329k candidates); HERE
-    # the exact-dedup stage has already removed identical docs, candidate
-    # density is low, and the filter's global df-order posting sort costs
-    # more than it prunes (measured +0.75s at sf0.1 for identical output)
+    # prefix_filter=True: at driver-bench scale (sf1.0) the exact-deduped
+    # corpus still carries a dense 2..100-df shingle band (71M raw
+    # co-occurrence pairs); the PPJoin prefix + size/positional filters +
+    # in-emission verify cut that to ~11M filter evaluations for a tiny
+    # edge set (measured: invindex path 11.5s vs prefix path 4.6s at sf1.0,
+    # identical output — asserted by
+    # test_prefix_filter_pairs_identical_to_plain_inverted_index)
     edges = ngram_jaccard_pairs(
         exact_keep, "doc_id", "text", n=3, threshold=0.5, max_df=100,
-        prefix_filter=False,
+        prefix_filter=True,
     )
     curated = dedup_keepers(
         exact_keep.select("doc_id", "source"), "doc_id", edges

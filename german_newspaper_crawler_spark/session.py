@@ -114,6 +114,15 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # runtime (post-shuffle, measured-size) broadcast decisions up to
+        # 64 MB: the dedup verify joins probe a per-doc array table that is
+        # tens of MB at bench scale — a 64 MB broadcast is cheap against
+        # any executor sized for this workload and replaces a full shuffle
+        # of the (much larger) candidate stream. Static estimates stay at
+        # the 10 MB default; this only widens decisions AQE makes from
+        # exact stage sizes, and oversized sides still fall back to
+        # sort-merge at cluster scale.
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "64m")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config(
