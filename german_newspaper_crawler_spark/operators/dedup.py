@@ -164,17 +164,18 @@ def banded_hamming_pairs(
     right = bands.select(
         F.col("id").alias("b_id"), F.col("h").alias("pb"), "b", "band_val"
     )
-    cand = (
+    hamming = F.bit_count(F.col("pa").bitwiseXOR(F.col("pb")))
+    # hamming verify BEFORE the distinct: the per-row bit_count is far
+    # cheaper than deduplicating the multi-band candidate stream, so the
+    # distinct's exchange sees only verified pairs (identical output —
+    # (pa, pb) are functions of (a, b))
+    return (
         left.join(right, ["b", "band_val"])
         .where(F.col("a") < F.col("b_id"))
-        .select(F.col("a"), F.col("b_id").alias("b"), "pa", "pb")
-        .distinct()
-    )
-    hamming = F.bit_count(F.col("pa").bitwiseXOR(F.col("pb")))
-    return (
-        cand.withColumn("hamming", hamming.cast("long"))
+        .withColumn("hamming", hamming.cast("long"))
         .where(F.col("hamming") <= max_hamming)
-        .select("a", "b", "hamming")
+        .select(F.col("a"), F.col("b_id").alias("b"), "hamming")
+        .distinct()
     )
 
 

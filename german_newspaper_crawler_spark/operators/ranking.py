@@ -44,9 +44,12 @@ def bm25_scores(
     if not query_terms:
         raise ValueError("bm25_scores requires a non-empty query_terms list")
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    # empty/blank docs are excluded like the oracle's length(TRIM(x)) >= 1 —
+    # a size(tk) >= 1 check would be always-true (split of "" yields [""],
+    # silently counting empty docs into n_docs/avgdl; ADVICE-r5)
     docs = (
-        df.select(F.col(id_col).alias("id"), toks.alias("tk"))
-        .where(F.size("tk") >= 1)
+        df.where(F.length(F.trim(F.col(text_col))) >= 1)
+        .select(F.col(id_col).alias("id"), toks.alias("tk"))
     )
     lens = docs.select("id", F.size("tk").cast("long").alias("dl"))
     scalars = lens.agg(
@@ -131,9 +134,10 @@ def tfidf_top_terms(
     from pyspark.sql import Window
 
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    # oracle-matching empty-doc exclusion (see bm25_scores; ADVICE-r5)
     docs = (
-        df.select(F.col(id_col).alias("id"), toks.alias("tk"))
-        .where(F.size("tk") >= 1)
+        df.where(F.length(F.trim(F.col(text_col))) >= 1)
+        .select(F.col(id_col).alias("id"), toks.alias("tk"))
     )
     scalars = docs.agg(F.count("*").cast("long").alias("n_docs"))
     tf = (

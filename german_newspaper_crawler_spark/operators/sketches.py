@@ -29,13 +29,14 @@ from pyspark.sql import functions as F
 from german_newspaper_crawler_spark.functions.hashing import hash64
 
 
-def _hll_rank_exprs(p: int):
-    """(max_rank, rho expression builder) for a given precision ``p`` over
-    the 60-bit shared hash: the suffix ``w = h >> p`` has ``60 - p`` bits,
-    so rho ∈ [1, 61 - p] and every constant below derives from that —
-    register weight ``2^(max_rank - M)``, absent-register weight
-    ``2^max_rank``, and the harmonic-sum scale ``m² · 2^max_rank = 2^61``
-    (constant in p, conveniently < 2^63)."""
+def _hll_max_rank(p: int) -> int:
+    """Max rho rank for a given precision ``p`` over the 60-bit shared
+    hash: the suffix ``w = h >> p`` has ``60 - p`` bits, so rho ∈
+    [1, 61 - p] and every derived constant follows — register weight
+    ``2^(max_rank - M)``, absent-register weight ``2^max_rank``, and the
+    harmonic-sum scale ``m² · 2^max_rank = 2^61`` (constant in p,
+    conveniently < 2^63). (ADVICE-r5 rename: the old name/docstring
+    promised an expression-builder pair that was never returned.)"""
     if not 4 <= p <= 18:
         raise ValueError(f"hll precision p={p} outside supported [4, 18]")
     max_rank = 61 - p
@@ -59,7 +60,7 @@ def hll_distinct(
     1.04/sqrt(2^p) ≈ 1.6% at the default p=12.
     """
     m = 1 << p
-    max_rank = _hll_rank_exprs(p)
+    max_rank = _hll_max_rank(p)
     alpha = 0.7213 / (1 + 1.079 / m)
     h = hash64(F.col(key_col).cast("string"))
     w = F.shiftright(h, p)

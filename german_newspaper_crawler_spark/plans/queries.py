@@ -86,7 +86,11 @@ def register(name: str, doc: str, oracle: str | None = None, bench: bool = False
     bench=True,
 )
 def j1_anti_join_seen(spark, sf_dir):
-    cand = t(spark, sf_dir, "orders").select(
+    from german_newspaper_crawler_spark.operators.dedup import widen_if_narrow
+
+    # widened: both join sides sha256 the derived url (2M digests at sf1.0)
+    # and the few-row-group orders scan would serialize that onto 1-2 cores
+    cand = widen_if_narrow(t(spark, sf_dir, "orders").select("o_orderkey")).select(
         "o_orderkey",
         F.concat(F.lit("https://ex.com/order/"), F.col("o_orderkey").cast("string")).alias("url"),
     )
@@ -119,7 +123,10 @@ def j1_anti_join_seen(spark, sf_dir):
 def w2_first_occurrence_dedup(spark, sf_dir):
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return (
+        # project to the 4 output columns BEFORE the window exchange: the
+        # full row (incl. the props map) would otherwise shuffle + sort
         t(spark, sf_dir, "events")
+        .select("user_id", "event_id", "ts", "event_type")
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
         .select("user_id", "event_id", ts_str("ts").alias("ts_s"), "event_type")
@@ -504,7 +511,10 @@ def o3_chunk_packing(spark, sf_dir):
 def o4_frontier_pop_topk(spark, sf_dir):
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return (
+        # project before the window exchange (see w2) — only the rank keys
+        # and output columns shuffle
         t(spark, sf_dir, "events")
+        .select("user_id", "event_id", "ts")
         .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= 2)
         .select("user_id", "event_id", ts_str("ts").alias("ts_s"), F.col("rk").cast("long").alias("rk"))
@@ -721,9 +731,11 @@ def g6y_phash_seen_suppression(spark, sf_dir):
     bench=True,
 )
 def dedup_exact(spark, sf_dir):
+    from german_newspaper_crawler_spark.operators.dedup import widen_if_narrow
+
     sig = F.sha2(F.concat_ws(" ", F.slice(F.split(F.trim("text"), r"\s+"), 1, 3)), 256)
     return (
-        t(spark, sf_dir, "documents")
+        widen_if_narrow(t(spark, sf_dir, "documents").select("doc_id", "text"))
         .select("doc_id", sig.alias("sig"))
         .groupBy("sig")
         .agg(F.min("doc_id").cast("long").alias("keeper"), F.count("*").cast("long").alias("n_dups"))

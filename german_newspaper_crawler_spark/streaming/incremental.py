@@ -557,9 +557,9 @@ def hll_batch(
 ):
     """Per-microbatch register fold behind :func:`streaming_hll_distinct`."""
     from german_newspaper_crawler_spark.functions.hashing import hash64
-    from german_newspaper_crawler_spark.operators.sketches import _hll_rank_exprs
+    from german_newspaper_crawler_spark.operators.sketches import _hll_max_rank
 
-    max_rank = _hll_rank_exprs(p)  # 61 - p over the 60-bit shared hash
+    max_rank = _hll_max_rank(p)  # 61 - p over the 60-bit shared hash
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -595,10 +595,10 @@ def hll_estimate(spark, store, p: int = 12, regs_table: str = "hll_regs"):
     """(group, est_distinct[4dp]) from the accumulated register table —
     the same exact-bigint harmonic sum as the batch operator. ``p`` must
     match the precision the registers were built with (rho ∈ [1, 61-p])."""
-    from german_newspaper_crawler_spark.operators.sketches import _hll_rank_exprs
+    from german_newspaper_crawler_spark.operators.sketches import _hll_max_rank
 
     m = 1 << p
-    max_rank = _hll_rank_exprs(p)
+    max_rank = _hll_max_rank(p)
     alpha = 0.7213 / (1 + 1.079 / m)
     per_group = store.read(spark, regs_table).groupBy("g").agg(
         F.sum(F.expr(f"shiftleft(1L, {max_rank} - M)")).alias("S"),
