@@ -3092,38 +3092,11 @@ def o4x_authority_pop(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _ROTATED_TO_TAIL = [
-    # graded green in r4 (CORRECTNESS_r04) and UNCHANGED since — rotated out
-    # for r5 so the 17 r4-tail entries regain a driver row. Queries touched
-    # this round (curation_pipeline, text_quality_classifier_hashed, the
-    # sketch/pagerank entries, dedup_components_keepers) stay in-window.
-    "legacy_normalize_records",
-    "g6x_phash_components_keepers",
-    "decontaminate_against_benchmark",
-    "dedup_containment",
-    "text_repetition_metrics",
-    "text_redact_pii",
-    "text_charbigram_logprob",
-    "sample_stratified_mix",
-    "pack_training_sequences",
-    "text_paragraph_dedup",
-    "text_substring_dedup",
-    "embed_label_coherence_outliers",
-    "dedup_exact",
-    "dedup_simhash",
-    "text_langid",
-    "text_quality_score",
-    "text_fingerprint_rolling",
-    # two more r4-green slots freed for the new r5 entries (o4x, bm25)
-    "text_token_count_bpe",
-    "dedup_minhash_lsh",
-    # two more r4-green slots freed for the new r5 tfidf/quantile entries
-    "text_winnowing_fingerprints",
-    "tpch_q1_pricing_summary",
-]
-
-_PROMOTED_TO_FRONT = [
-    # the 17 entries rotated to the tail in r4 (last driver row: r3) — back
-    # in the graded window per the alternating-halves contract.
+    # graded green in r5 (CORRECTNESS_r05) and UNCHANGED in r6 — rotated out
+    # so the 21 r5-tail entries regain a driver row (VERDICT-r5 #1). Every
+    # query whose implementation changed in the r6 optimization round
+    # (dedup/jaccard/curation/components/ranking/window-projection edits)
+    # stays in-window regardless.
     "f1_sha256_identity",
     "p1_href_validity_filter",
     "p2_binary_url_filter",
@@ -3141,18 +3114,49 @@ _PROMOTED_TO_FRONT = [
     "o1_o2_sort_truncate_tokens",
     "a1_u1_distinct_union_hashes",
     "a4_counts_by_collection",
-    # queries whose implementation changed in r5 — must be re-graded
-    "text_quality_classifier_hashed",
-    "sketch_hll_distinct_users",
-    "sketch_countmin_user_counts",
+    # four more r5-green untouched slots freed so the window closes at 50
+    "o4x_authority_pop",
+    "sketch_quantile_doclen",
     "graph_pagerank_hosts",
+    "sketch_countmin_user_counts",
+]
+
+_PROMOTED_TO_FRONT = [
+    # the 21 entries rotated to the tail in r5 (last driver row: r4) — back
+    # in the graded window per the alternating-halves contract.
+    "legacy_normalize_records",
+    "g6x_phash_components_keepers",
+    "decontaminate_against_benchmark",
+    "dedup_containment",
+    "text_repetition_metrics",
+    "text_redact_pii",
+    "text_charbigram_logprob",
+    "sample_stratified_mix",
+    "pack_training_sequences",
+    "text_paragraph_dedup",
+    "text_substring_dedup",
+    "embed_label_coherence_outliers",
+    "dedup_exact",
+    "dedup_simhash",
+    "text_langid",
+    "text_quality_score",
+    "text_fingerprint_rolling",
+    "text_token_count_bpe",
+    "dedup_minhash_lsh",
+    "text_winnowing_fingerprints",
+    "tpch_q1_pricing_summary",
+    # queries whose implementation changed in the r6 optimization round —
+    # must be re-graded (widen/emission/verify/projection/empty-doc edits)
+    "dedup_ngram_jaccard",
     "curation_pipeline",
     "dedup_components_keepers",
-    # new r5 operators — need their first driver rows
-    "o4x_authority_pop",
+    "j1_anti_join_seen",
+    "w2_first_occurrence_dedup",
+    "o4_frontier_pop_topk",
+    "g6_phash_banded_neardup",
     "text_bm25_scores",
     "text_tfidf_top_terms",
-    "sketch_quantile_doclen",
+    "sketch_hll_distinct_users",
 ]
 
 
