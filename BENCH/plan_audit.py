@@ -31,12 +31,17 @@ NOTES = {
         "the overwhelmingly-fresh majority before this exact join."
     ),
     "dedup_ngram_jaccard": (
-        "PPJoin prefix-filtered inverted index: shingles hashed to 8-byte "
-        "keys inside the tokenizer transform (no concat allocation), df "
-        "counted via partial-aggregatable groupBy, candidates only from "
-        "ascending-df prefix postings capped by max_df, exact verify via "
-        "array_intersect. No stage is quadratic in a stop-shingle's "
-        "document frequency."
+        "PPJoin prefix-filtered inverted index (r6 rework): input widened "
+        "when the scan is narrower than the shuffle parallelism, shingles "
+        "hashed to 8-byte keys inside the tokenizer transform (no concat "
+        "allocation), per-doc arrays persisted once, df attached by "
+        "broadcasting only the df>=2 band, candidates only from "
+        "ascending-df prefix postings capped by max_df, and the size + "
+        "positional filters AND the exact array_intersect verify all run "
+        "inside the emission lambda — only verified pairs become rows, so "
+        "there is no candidate exchange, no verify join, and the final "
+        "distinct sees thousands of rows, not millions. No stage is "
+        "quadratic in a stop-shingle's document frequency."
     ),
     "dedup_minhash_lsh": (
         "Banded MinHash: signature computed JVM-side per doc, candidates "
@@ -76,12 +81,16 @@ NOTES = {
         "(PushedFilters), AQE picks broadcast for the dimension side."
     ),
     "curation_pipeline": (
-        "End-to-end curation: quality gate → exact-sig window dedup "
-        "(persisted — feeds both the shingle derivation and the keeper "
-        "join) → df-capped Jaccard edges (prefix filter OFF here: after "
-        "exact dedup the candidate density is too low to amortize the "
-        "PPJoin posting sort, measured +0.75 s) → iterative min-label "
-        "components (localCheckpoint per round) → keepers aggregate."
+        "End-to-end curation (r6 rework): widened quality gate → exact-sig "
+        "dedup as min(doc_id)-per-signature + AQE-broadcast semi-join (the "
+        "text payload never shuffles; the former sig-window exchanged and "
+        "sorted every document body) → persisted keeper set feeds both the "
+        "shingle derivation and the keeper join → df-capped Jaccard edges "
+        "via the PPJoin prefix path with in-emission verify (prefix ON "
+        "since r6: at sf1.0 the plain inverted index emits 71M "
+        "co-occurrence pairs for an empty edge set) → iterative min-label "
+        "components (localCheckpoint per round, changed-flag carried "
+        "through the checkpoint) → keepers aggregate."
     ),
     "text_substring_dedup": (
         "ExactSubstr (r4): k-gram hash occurrences → partial-aggregatable "

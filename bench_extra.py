@@ -84,7 +84,7 @@ def main():
         spec = REGISTRY[name]
         # warm rep (untimed) then timed reps, min reported — mirrors bench.py
         reps = []
-        for i in range(args.reps + 1):
+        for i in range(max(args.reps, 1) + 1):
             spark.sparkContext.setJobDescription(f"{name} rep{i}")
             t0 = time.monotonic()
             force(spec.spark(spark, sf_dir))
@@ -101,12 +101,18 @@ def main():
     spark.stop()
 
 
-def timed(spark, label, df, reps=2):
+def timed(spark, label, df_or_build, reps=2):
+    """Time a DataFrame or a zero-arg builder. Frames that persist
+    intermediates MUST come in as builders: clearCache() between reps drops
+    their caches, and re-forcing the same plan object then re-derives the
+    cached subtree (and can trip the InferFiltersFromGenerate re-inlining
+    documented in dedup._shingle_arrays)."""
+    build = df_or_build if callable(df_or_build) else (lambda: df_or_build)
     walls = []
-    for i in range(reps + 1):
+    for i in range(max(reps, 1) + 1):
         spark.sparkContext.setJobDescription(f"{label} rep{i}")
         t0 = time.monotonic()
-        force(df)
+        force(build())
         dt = time.monotonic() - t0
         if i > 0:
             walls.append(dt)
@@ -131,24 +137,37 @@ def profile_ngram(spark, sf_dir):
     ).collect()[0]
     print(f"  docs={stats[0]} tokens total={stats[1]} avg={stats[2]:.1f} max={stats[3]}")
 
-    # phase 1: shingle explode (no persist)
-    sh_plain = D._hashed_shingles(docs, "doc_id", "text", 3)
-    sh_nocache = sh_plain.unpersist()
-    timed(spark, "shingles explode only", sh_nocache)
+    # phase 1: per-doc shingle arrays (the one persisted frame).
+    # NOTE: frames derived from arr0 must not outlive a clearCache() —
+    # exploding the UNCACHED array column trips InferFiltersFromGenerate
+    # into re-inlining the shingle expression (the 35x trap documented in
+    # _shingle_arrays) — so each phase below builds its own arr0.
+    timed(spark, "shingle arrays (widen+split+hash)",
+          D._shingle_arrays(docs, "doc_id", "text", 3))
+    arr0 = D._shingle_arrays(docs, "doc_id", "text", 3)
+    print(f"  shingle rows: {arr0.select(F.explode('sh_arr')).count()}")
+    arr0.unpersist()
 
-    n_sh = sh_nocache.count()
-    print(f"  shingle rows: {n_sh}")
+    # phase 2: df counts over the explode (fresh cache per rep)
+    def dfreq():
+        a = D._shingle_arrays(docs, "doc_id", "text", 3)
+        return a.select("doc_id", F.explode("sh_arr").alias("shingle")) \
+                .groupBy("shingle").agg(F.count("*").alias("__df"))
+    import time as _t
+    walls = []
+    for i in range(3):
+        t0 = _t.monotonic(); force(dfreq()); dt = _t.monotonic() - t0
+        spark.catalog.clearCache()
+        if i > 0:
+            walls.append(round(dt, 3))
+    print(f"  dfreq groupBy (incl. arrays): min={min(walls):.3f} {walls}")
 
-    # phase 2: df counts
-    dfreq = sh_nocache.groupBy("shingle").agg(F.count("*").alias("__df"))
-    timed(spark, "dfreq groupBy", dfreq)
-
-    # phase 3: full prefix-filter path (current impl, with persist)
-    timed(spark, "FULL prefix_filter=True (persist)", D.ngram_jaccard_pairs(
+    # phase 3: full prefix-filter path (current impl)
+    timed(spark, "FULL prefix_filter=True", lambda: D.ngram_jaccard_pairs(
         docs, "doc_id", "text", 3, 0.5, max_df=100, prefix_filter=True))
 
     # phase 4: capped inverted index path
-    timed(spark, "FULL prefix_filter=False (persist)", D.ngram_jaccard_pairs(
+    timed(spark, "FULL prefix_filter=False", lambda: D.ngram_jaccard_pairs(
         docs, "doc_id", "text", 3, 0.5, max_df=100, prefix_filter=False))
 
 

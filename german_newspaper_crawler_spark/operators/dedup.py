@@ -354,16 +354,6 @@ def _prefix_filtered_pairs(
       keep-if-first-occurrence-passes: lossless. jaccard >= t' needs
       overlap*(1+t') >= (na+nb)*t'.
 
-    Candidates pass two per-occurrence filters before the exact verify:
-
-    * size filter: min(na, nb) >= t' * max(na, nb), else jaccard < t';
-    * positional filter (PPJoin): for a co-occurrence at 1-based positions
-      (pa, pb) of the df-sorted arrays, overlap <= 1 + min(na-pa, nb-pb)
-      whenever no earlier common shingle exists — both arrays share the
-      global sort order, so the FIRST common shingle gives the weakest
-      (largest) such bound, and keep-if-ANY-occurrence-passes is exactly
-      keep-if-first-occurrence-passes: lossless.
-
     Surviving candidates are verified EXACTLY via array_intersect on the
     per-doc shingle arrays — computed INSIDE the emission lambda, because
     each posting carries its doc's full (df-capped) shingle array. That
@@ -814,7 +804,7 @@ def paragraph_dedup(
     occurrences through one ordered partition. The occurrence table joins
     winners on the 8-byte xxhash64 key; rebuild is a doc-local groupBy.
     A 64-bit collision merges two distinct paragraphs (P ≈ n²/2⁶⁵ —
-    the MinHash-family trade, see _hashed_shingles).
+    the MinHash-family trade, see _shingle_arrays).
     """
     # null array elements are ignored (a null paragraph would hash to a
     # null key and spuriously "dedup" against every other null)
