@@ -1963,10 +1963,11 @@ def curation_pipeline(spark, sf_dir):
     )
     # prefix_filter=True: at driver-bench scale (sf1.0) the exact-deduped
     # corpus still carries a dense 2..100-df shingle band (71M raw
-    # co-occurrence pairs); the PPJoin prefix + size/positional filters +
-    # in-emission verify cut that to ~11M filter evaluations for a tiny
-    # edge set (measured: invindex path 11.5s vs prefix path 4.6s at sf1.0,
-    # identical output — asserted by
+    # co-occurrence pairs on the full corpus); the PPJoin prefix +
+    # size/positional filters + in-emission verify prune most of that for
+    # a tiny edge set (measured on this deduped input at sf1.0, same
+    # session: prefix 3.3-5.6s vs inverted index 5.7-6.9s; identical
+    # output — asserted by
     # test_prefix_filter_pairs_identical_to_plain_inverted_index)
     edges = ngram_jaccard_pairs(
         exact_keep, "doc_id", "text", n=3, threshold=0.5, max_df=100,
