@@ -670,3 +670,65 @@ def test_quantile_hist_accuracy_and_reshuffle_identity(spark):
     edge = spark.createDataFrame([(-50, "g"), (5000, "g")], "v long, grp string")
     [r] = quantile_hist(edge, "v", "grp", qs=(0.5,), lo=0.0, hi=100.0, n_bins=10).collect()
     assert r["n_rows"] == 2 and 0.0 <= r["est_q"] <= 100.0
+
+
+def test_widen_if_narrow_scan_vs_shuffled_inputs(spark, tmp_path):
+    """The widen gate (r6): a narrow file scan repartitions up to the
+    session's shuffle parallelism; anything already past a shuffle (or a
+    cache) is left untouched — probing those with .rdd would eagerly
+    materialize their AQE query stages at plan-build time."""
+    from german_newspaper_crawler_spark.operators.dedup import widen_if_narrow
+
+    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    path = str(tmp_path / "narrow.parquet")
+    spark.range(1000).selectExpr("id", "cast(id as string) AS text") \
+        .coalesce(1).write.mode("overwrite").parquet(path)
+
+    scan = spark.read.parquet(path).select("id", "text")
+    widened = widen_if_narrow(scan)
+    assert widened.rdd.getNumPartitions() == p
+    # rows unchanged, just redistributed
+    assert widened.count() == 1000
+
+    # aggregated input: plan contains an Aggregate -> returned AS-IS (its
+    # output is already as wide as the shuffle parallelism, and probing it
+    # with .rdd would eagerly materialize its AQE stages)
+    agg = scan.groupBy("text").count()
+    assert widen_if_narrow(agg) is agg
+    joined = scan.join(scan.select("id"), "id")
+    assert widen_if_narrow(joined) is joined
+    # a cached SCAN-shaPED frame is still probed (cache substitution
+    # happens after analysis, and a 1-partition cache read would serialize
+    # the narrow work above it just like the raw scan) -> widened
+    cached = scan.persist()
+    try:
+        cached.count()
+        assert widen_if_narrow(cached).rdd.getNumPartitions() == p
+    finally:
+        cached.unpersist()
+
+
+def test_shingle_arrays_cache_guards_generate_filter_inlining(spark):
+    """Regression guard for the r6-measured 35x trap: exploding a DERIVED
+    array column lets InferFiltersFromGenerate + projection collapse inline
+    the whole shingle expression (including the regex split) into an
+    inferred filter, re-evaluating it per row. _shingle_arrays persists the
+    arrays, so the explode's optimized plan must read the cache and its
+    inferred filter must not contain the split."""
+    from german_newspaper_crawler_spark.operators.dedup import _shingle_arrays
+
+    df = spark.createDataFrame(
+        [(i, "ein zwei drei vier fünf sechs") for i in range(10)],
+        ["doc_id", "text"],
+    )
+    arr0 = _shingle_arrays(df, "doc_id", "text", 3)
+    try:
+        sh = arr0.select("doc_id", F.explode("sh_arr").alias("shingle"))
+        plan = sh._jdf.queryExecution().optimizedPlan().toString()
+        assert "InMemoryRelation" in plan, plan[:500]
+        # the trap signature: split(...) appearing above the cache boundary
+        above_cache = plan.split("InMemoryRelation", 1)[0]
+        assert "split(" not in above_cache, above_cache
+        assert sh.count() == 40  # 4 distinct shingles x 10 docs
+    finally:
+        arr0.unpersist()
