@@ -429,32 +429,37 @@ def _prefix_filtered_pairs(
     #   element_at(ds, i) re-probes per inner element,
     # * the cheap size + positional double conditions short-circuit before
     #   the array_intersect runs (31.8M -> 11M intersect evaluations at
-    #   sf1.0), and failures never allocate a struct,
+    #   sf1.0),
     # * {t!r}D literals force DOUBLE arithmetic — a bare 0.499999 parses as
     #   DECIMAL(17,6) and drags the whole filter into interpreted decimal
     #   multiplication (measured ~2x on the emission stage),
-    # * the rounded-jaccard threshold test runs inside the filter too, so
-    #   only verified pairs are ever materialized as rows.
+    # * the expensive size(array_intersect(...)) is computed ONCE per
+    #   surviving candidate: SQL lambdas have no let-binding, so the count
+    #   is bound through a single-element-array transform (array(c) ->
+    #   struct) — the previous form re-evaluated the interpreted intersect
+    #   in both the numerator and denominator of the in-filter jaccard
+    #   (2 evals per candidate; 22M instead of 11M at sf1.0),
+    # * the rounded-jaccard threshold test then filters the candidate
+    #   structs, so only verified pairs ever leave the emission.
     # (df >= 2 counts ALL docs holding the shingle; a prefix posting list
     # can still be a singleton when only one of them has it in-prefix.)
     pair_structs = F.expr(
         f"""flatten(transform(ds, (x, i0) ->
-              transform(
-                filter(slice(ds, i0 + 2, size(ds)),
-                  y -> double(least(x.n_sh, y.n_sh))
-                         >= {t!r}D * double(greatest(x.n_sh, y.n_sh))
-                   and double(1 + least(x.n_sh - x.pos, y.n_sh - y.pos))
-                         * (1D + {t!r}D)
-                         >= double(x.n_sh + y.n_sh) * {t!r}D
-                   and round(double(size(array_intersect(x.arr, y.arr)))
-                             / double(x.n_sh + y.n_sh
-                                      - size(array_intersect(x.arr, y.arr))), 6)
-                         >= {threshold!r}D),
-                y -> struct(x.__d AS a, y.__d AS b,
-                            round(double(size(array_intersect(x.arr, y.arr)))
-                                  / double(x.n_sh + y.n_sh
-                                           - size(array_intersect(x.arr, y.arr))), 6)
-                              AS jaccard))))"""
+              filter(
+                transform(
+                  filter(slice(ds, i0 + 2, size(ds)),
+                    y -> double(least(x.n_sh, y.n_sh))
+                           >= {t!r}D * double(greatest(x.n_sh, y.n_sh))
+                     and double(1 + least(x.n_sh - x.pos, y.n_sh - y.pos))
+                           * (1D + {t!r}D)
+                           >= double(x.n_sh + y.n_sh) * {t!r}D),
+                  y -> element_at(
+                         transform(array(size(array_intersect(x.arr, y.arr))),
+                           c -> struct(x.__d AS a, y.__d AS b,
+                                       round(double(c)
+                                             / double(x.n_sh + y.n_sh - c), 6)
+                                         AS jaccard)), 1)),
+                p -> p.jaccard >= {threshold!r}D)))"""
     )
     return (
         groups.select(F.explode(pair_structs).alias("p"))
