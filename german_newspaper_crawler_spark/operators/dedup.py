@@ -356,13 +356,16 @@ def _prefix_filtered_pairs(
 
     Surviving candidates are verified EXACTLY via array_intersect on the
     per-doc shingle arrays — computed INSIDE the emission lambda, because
-    each posting carries its doc's full (df-capped) shingle array. That
-    trades a wider posting shuffle (array payload, bytes ∝ postings ×
-    doc-array size) for the removal of the entire verify-join subtree: no
-    candidate-stream exchange, no join back to a doc-array table, no
-    distinct over millions of candidates (measured sf1.0: 11M surviving
-    candidates for 2.5k verified pairs — two candidate exchanges + two
-    sort-merge joins replaced by a filter that never leaves the stage).
+    each posting carries its doc's df >= 2 shingles (split by hash parity
+    for the two-stage verify — see the inline comments; df=1 elements can
+    never intersect and are dropped from the verify arrays only, not from
+    n_sh). That trades a wider posting shuffle (array payload, bytes ∝
+    postings × doc-array size) for the removal of the entire verify-join
+    subtree: no candidate-stream exchange, no join back to a doc-array
+    table, no distinct over millions of candidates (measured sf1.0: 11M
+    surviving candidates for 2.5k verified pairs — two candidate exchanges
+    + two sort-merge joins replaced by a filter that never leaves the
+    stage).
     Duplicates from multi-shingle candidates are dropped on the tiny
     verified output. (A numpy mapInArrow verifier was also measured: its
     vectorized membership test is ~10x cheaper than the interpreted
@@ -382,6 +385,20 @@ def _prefix_filtered_pairs(
     pairs only. No step is quadratic in a stop-shingle's df.
     """
     t = max(threshold - 1e-6, 0.0)
+    # Verify arrays carry only df >= 2 elements, split by hash parity:
+    # * a df=1 shingle exists in exactly one doc, so it can never be in an
+    #   intersection — dropping singletons from the verify arrays changes
+    #   no |A∩B| while shrinking both the posting payload and every
+    #   intersect's hash build (the dominant verify cost; on real corpora
+    #   singletons are the overwhelming majority of shingles),
+    # * the parity split (ae = even xxhash64 values, ao = odd) enables a
+    #   sound two-stage verify in the emission: c = |Ae∩Be| + |Ao∩Bo| and
+    #   |Ao∩Bo| <= min(|Ao|, |Bo|), so a candidate whose even-half count
+    #   ce leaves ce + min(|Ao|, |Bo|) below the required overlap is
+    #   rejected after half the intersect work — lossless, because for any
+    #   qualifying pair the bound >= c >= t'(na+nb)/(1+t').
+    # n_sh stays the FULL df <= max_df count (the jaccard denominator and
+    # the size/positional bounds are over the whole capped set).
     docs = (
         _attach_df(arr0, id_col)
         .where(F.col("__df") <= max_df)
@@ -393,7 +410,14 @@ def _prefix_filtered_pairs(
         )
         .select(
             F.col(id_col).alias("__d"),
-            F.col("ss").getField("shingle").alias("sh_arr"),
+            F.expr(
+                "transform(filter(ss, e -> e.__df >= 2 and (e.shingle & 1) = 0),"
+                " e -> e.shingle)"
+            ).alias("ae"),
+            F.expr(
+                "transform(filter(ss, e -> e.__df >= 2 and (e.shingle & 1) = 1),"
+                " e -> e.shingle)"
+            ).alias("ao"),
             F.size("ss").cast("int").alias("n_sh"),
             F.col("ss").alias("ss"),
         )
@@ -408,20 +432,20 @@ def _prefix_filtered_pairs(
             ).cast("int"),
         )
         .select(
-            "__d", "n_sh", "sh_arr",
+            "__d", "n_sh", "ae", "ao",
             F.posexplode(F.expr("slice(ss, 1, __p)")).alias("pos0", "e"),
         )
         .where(F.col("e.__df") >= 2)
         .select(
             F.col("e.shingle").alias("shingle"), "__d", "n_sh",
-            (F.col("pos0") + 1).alias("pos"), F.col("sh_arr").alias("arr"),
+            (F.col("pos0") + 1).alias("pos"), "ae", "ao",
         )
     )
-    # sorted (doc, size, pos, array) posting lists -> ordered pairs with
+    # sorted (doc, size, pos, arrays) posting lists -> ordered pairs with
     # the filters AND the exact verify evaluated during emission
     groups = prefix.groupBy("shingle").agg(
         F.array_sort(
-            F.collect_list(F.struct("__d", "n_sh", "pos", "arr"))
+            F.collect_list(F.struct("__d", "n_sh", "pos", "ae", "ao"))
         ).alias("ds")
     ).where(F.size("ds") >= 2)
     # Emission shape (measured on the sf1.0 corpus, 31.8M raw pairs):
@@ -433,12 +457,17 @@ def _prefix_filtered_pairs(
     # * {t!r}D literals force DOUBLE arithmetic — a bare 0.499999 parses as
     #   DECIMAL(17,6) and drags the whole filter into interpreted decimal
     #   multiplication (measured ~2x on the emission stage),
-    # * the expensive size(array_intersect(...)) is computed ONCE per
-    #   surviving candidate: SQL lambdas have no let-binding, so the count
-    #   is bound through a single-element-array transform (array(c) ->
-    #   struct) — the previous form re-evaluated the interpreted intersect
-    #   in both the numerator and denominator of the in-filter jaccard
-    #   (2 evals per candidate; 22M instead of 11M at sf1.0),
+    # * each intersect half is computed ONCE per candidate: SQL lambdas
+    #   have no let-binding, so counts are bound through single-element-
+    #   array transforms (array(c) -> struct),
+    # * the verify runs in two stages on the parity-split arrays: the
+    #   even-half count ce first, then the sound bound
+    #   (ce + min(|Ao|, |Bo|))(1+t') >= (na+nb)t' rejects most random
+    #   candidates after half the intersect work (pruned candidates emit a
+    #   constant jaccard=-1 sentinel struct — no typed NULL, so the
+    #   expression stays generic over the id type — which the final
+    #   threshold filter drops; with threshold 0 the bound always passes
+    #   and the sentinel never occurs),
     # * the rounded-jaccard threshold test then filters the candidate
     #   structs, so only verified pairs ever leave the emission.
     # (df >= 2 counts ALL docs holding the shingle; a prefix posting list
@@ -454,11 +483,21 @@ def _prefix_filtered_pairs(
                            * (1D + {t!r}D)
                            >= double(x.n_sh + y.n_sh) * {t!r}D),
                   y -> element_at(
-                         transform(array(size(array_intersect(x.arr, y.arr))),
-                           c -> struct(x.__d AS a, y.__d AS b,
-                                       round(double(c)
-                                             / double(x.n_sh + y.n_sh - c), 6)
-                                         AS jaccard)), 1)),
+                         transform(array(size(array_intersect(x.ae, y.ae))),
+                           ce -> if(
+                             double(ce + least(size(x.ao), size(y.ao)))
+                                 * (1D + {t!r}D)
+                               >= double(x.n_sh + y.n_sh) * {t!r}D,
+                             element_at(
+                               transform(
+                                 array(ce + size(array_intersect(x.ao, y.ao))),
+                                 c -> struct(x.__d AS a, y.__d AS b,
+                                             round(double(c)
+                                                   / double(x.n_sh + y.n_sh
+                                                            - c), 6)
+                                               AS jaccard)), 1),
+                             struct(x.__d AS a, y.__d AS b,
+                                    -1D AS jaccard))), 1)),
                 p -> p.jaccard >= {threshold!r}D)))"""
     )
     return (
