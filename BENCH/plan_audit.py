@@ -37,11 +37,16 @@ NOTES = {
         "allocation), per-doc arrays persisted once, df attached by "
         "broadcasting only the df>=2 band, candidates only from "
         "ascending-df prefix postings capped by max_df, and the size + "
-        "positional filters AND the exact array_intersect verify all run "
-        "inside the emission lambda — only verified pairs become rows, so "
-        "there is no candidate exchange, no verify join, and the final "
-        "distinct sees thousands of rows, not millions. No stage is "
-        "quadratic in a stop-shingle's document frequency."
+        "positional filters AND the exact verify all run inside the "
+        "emission lambda — only verified pairs become rows, so there is no "
+        "candidate exchange, no verify join, and the final distinct sees "
+        "thousands of rows, not millions. The verify itself is two-stage "
+        "(late-r6): arrays carry only df>=2 elements (singletons cannot "
+        "intersect) split by hash parity, the even-half overlap plus a "
+        "sound odd-half bound rejects most candidates at half the "
+        "intersect cost, and each intersect count is let-bound through a "
+        "single-element-array transform so it is computed once. No stage "
+        "is quadratic in a stop-shingle's document frequency."
     ),
     "dedup_minhash_lsh": (
         "Banded MinHash: signature computed JVM-side per doc, candidates "
